@@ -1,0 +1,245 @@
+"""GEMM-native audio front-end: waveform -> log-mel -> spectrogram image.
+
+TPU-first reimplementation of the reference's torchlibrosa pipeline
+(ref: AVMOE/AVE/nets/htsat.py:443-453, 719-734; utils.py:143-153):
+
+  * STFT as one strided convolution whose filters are the windowed DFT basis
+    (lowers to an implicit GEMM on the MXU; no FFT butterflies, no scalar code).
+  * Slaney-scale mel filterbank as a constant matmul.
+  * torch-compatible bicubic (align_corners=True) time interpolation as a
+    precomputed sparse weight matrix -> another matmul.
+  * HTS-AT `reshape_wav2img` frequency-folding as pure reshapes/transposes.
+  * SpecAugment stripes and waveform mixup threaded through jax PRNG keys.
+
+All functions are pure and jit-safe; matrices are built once on the host
+(numpy, hashed by config) and closed over as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avmoe_tpu.config import AudioFrontendConfig
+
+
+# ---------------------------------------------------------------------------
+# Host-side constant builders (cached)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_basis(n_fft: int, win_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT basis: (n_fft, n_freq) cos / sin matrices.
+
+    Matches torchlibrosa's conv-STFT construction (hann window, periodic).
+    """
+    n_freq = n_fft // 2 + 1
+    window = np.hanning(win_length + 1)[:-1]  # periodic hann == torch.hann_window
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        window = np.pad(window, (pad, n_fft - win_length - pad))
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_freq)[None, :]
+    angle = 2.0 * np.pi * n * k / n_fft
+    cos_basis = (np.cos(angle) * window[:, None]).astype(np.float32)
+    sin_basis = (-np.sin(angle) * window[:, None]).astype(np.float32)
+    return cos_basis, sin_basis
+
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa htk=False), used by torchlibrosa's filterbank."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int, fmin: float, fmax: float) -> np.ndarray:
+    """(n_freq, n_mels) Slaney-normalized triangular mel filterbank.
+
+    Replicates librosa.filters.mel(htk=False, norm='slaney') as consumed by
+    torchlibrosa LogmelFilterBank (ref: htsat.py:447-449).
+    """
+    n_freq = n_fft // 2 + 1
+    fftfreqs = np.linspace(0.0, sample_rate / 2.0, n_freq)
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin)), _hz_to_mel(np.array(fmax)), n_mels + 2)
+    mel_f = _mel_to_hz(mel_pts)
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    weights = np.zeros((n_mels, n_freq), dtype=np.float64)
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.T.astype(np.float32)  # (n_freq, n_mels)
+
+
+def _cubic_kernel(s: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel (torch bicubic uses a=-0.75)."""
+    s = np.abs(s)
+    w = np.where(
+        s <= 1.0,
+        (a + 2.0) * s**3 - (a + 3.0) * s**2 + 1.0,
+        np.where(s < 2.0, a * s**3 - 5.0 * a * s**2 + 8.0 * a * s - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def bicubic_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) matrix implementing torch's 1-D bicubic interpolation
+    with align_corners=True and border clamping (ref: htsat.py:726-728 uses
+    F.interpolate(mode='bicubic', align_corners=True))."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+    for i in range(out_size):
+        x = i * scale
+        x0 = int(np.floor(x))
+        t = x - x0
+        for tap, offset in enumerate(range(-1, 3)):
+            idx = int(np.clip(x0 + offset, 0, in_size - 1))
+            mat[i, idx] += _cubic_kernel(np.array(offset - t))
+    return mat.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Jit-safe transforms
+# ---------------------------------------------------------------------------
+
+
+def stft_power(wave: jax.Array, cfg: AudioFrontendConfig) -> jax.Array:
+    """Power spectrogram via strided conv against the windowed DFT basis.
+
+    Args:
+      wave: (B, L) waveform.
+    Returns:
+      (B, T, n_freq) power spectrum, T = L // hop + 1 (center=True, reflect pad),
+      matching torchlibrosa Spectrogram (ref: htsat.py:443-445).
+    """
+    cos_b, sin_b = _dft_basis(cfg.n_fft, cfg.win_length)
+    basis = jnp.asarray(np.concatenate([cos_b, sin_b], axis=1))  # (n_fft, 2*n_freq)
+    pad = cfg.n_fft // 2
+    x = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    x = x[:, :, None]  # (B, L+n_fft, 1) NWC
+    kernel = basis[:, None, :]  # (n_fft, 1, 2*n_freq) WIO
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(cfg.hop_length,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # (B, T, 2*n_freq)
+    n_freq = cfg.n_fft // 2 + 1
+    real, imag = out[..., :n_freq], out[..., n_freq:]
+    return real * real + imag * imag
+
+
+def log_mel_spectrogram(wave: jax.Array, cfg: AudioFrontendConfig) -> jax.Array:
+    """(B, L) waveform -> (B, T, n_mels) log-mel, matching torchlibrosa's
+    Spectrogram + LogmelFilterBank (power_to_db with amin/ref, top_db=None)."""
+    power = stft_power(wave, cfg)
+    mel = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    mel_spec = jnp.einsum("btf,fm->btm", power, mel)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(mel_spec, cfg.amin))
+    log_spec -= 10.0 * jnp.log10(jnp.maximum(jnp.asarray(cfg.ref), cfg.amin))
+    return log_spec
+
+
+def reshape_wav2img(spec: jax.Array, spec_size: int, freq_ratio: int) -> jax.Array:
+    """HTS-AT spectrogram -> square image fold (ref: htsat.py:719-734).
+
+    Args:
+      spec: (B, T, F) log-mel.
+    Returns:
+      (B, spec_size, spec_size, 1) image with img[r*F + f, t] = spec[r*Tc + t, f],
+      Tc = spec_size, after bicubic time-interp to freq_ratio * spec_size frames.
+    """
+    B, T, F = spec.shape
+    target_t = spec_size * freq_ratio
+    target_f = spec_size // freq_ratio
+    if T < target_t:
+        interp = jnp.asarray(bicubic_resize_matrix(T, target_t))
+        spec = jnp.einsum("ot,btf->bof", interp, spec)
+    if F < target_f:
+        interp_f = jnp.asarray(bicubic_resize_matrix(F, target_f))
+        spec = jnp.einsum("of,btf->bto", interp_f, spec)
+    x = spec.reshape(B, freq_ratio, spec_size, target_f)  # split T -> (r, t)
+    x = x.transpose(0, 1, 3, 2)  # (B, r, f, t)
+    x = x.reshape(B, freq_ratio * target_f, spec_size)  # rows = r*F + f
+    return x[..., None]
+
+
+def _stripe_mask(key: jax.Array, batch: int, width: int, drop_width: int, num_stripes: int) -> jax.Array:
+    """(B, width) boolean keep-mask with `num_stripes` random zero stripes per row,
+    replicating torchlibrosa DropStripes (ref: htsat.py:451-452)."""
+    k_len, k_bgn = jax.random.split(key)
+    dist = jax.random.randint(k_len, (batch, num_stripes), 0, drop_width)
+    bgn = jax.random.randint(k_bgn, (batch, num_stripes), 0, width - dist + 1)
+    pos = jnp.arange(width)[None, None, :]
+    dropped = (pos >= bgn[..., None]) & (pos < (bgn + dist)[..., None])
+    return ~jnp.any(dropped, axis=1)
+
+
+def spec_augment(key: jax.Array, spec: jax.Array, cfg: AudioFrontendConfig) -> jax.Array:
+    """SpecAugment time/freq stripes on (B, T, F) log-mel (train-time only)."""
+    B, T, F = spec.shape
+    k_t, k_f = jax.random.split(key)
+    tmask = _stripe_mask(k_t, B, T, cfg.time_drop_width, cfg.time_stripes_num)
+    fmask = _stripe_mask(k_f, B, F, cfg.freq_drop_width, cfg.freq_stripes_num)
+    return spec * tmask[:, :, None] * fmask[:, None, :]
+
+
+def mixup(x: jax.Array, lam: jax.Array) -> jax.Array:
+    """Batch mixup against the flipped batch (ref: utils.py:143-153).
+
+    Args:
+      x: (B, ...); lam: (B,) mixing weights.
+    """
+    lam = lam.reshape((-1,) + (1,) * (x.ndim - 1))
+    return x * lam + jnp.flip(x, axis=0) * (1.0 - lam)
+
+
+def get_mix_lambda(key: jax.Array, alpha: float, batch: int) -> jax.Array:
+    """Beta(alpha, alpha) mixing weights (ref: utils.py:74-76)."""
+    return jax.random.beta(key, alpha, alpha, (batch,)).astype(jnp.float32)
+
+
+class LogMelFrontend:
+    """Bundles the full wave -> folded-image pipeline used by HTS-AT.
+
+    Stateless convenience wrapper; BatchNorm over mel bins (`bn0`) lives in the
+    HTSAT flax module since it has parameters.
+    """
+
+    def __init__(self, cfg: AudioFrontendConfig, spec_size: int):
+        self.cfg = cfg
+        self.spec_size = spec_size
+        self.freq_ratio = spec_size // cfg.n_mels
+
+    def __call__(self, wave: jax.Array) -> jax.Array:
+        return log_mel_spectrogram(wave, self.cfg)
+
+    def fold(self, spec: jax.Array) -> jax.Array:
+        return reshape_wav2img(spec, self.spec_size, self.freq_ratio)

@@ -1,0 +1,259 @@
+"""Typed configuration tree for AVMoE-TPU.
+
+One dataclass hierarchy replaces the reference's three config mechanisms
+(argparse BaseOptions, the mutable module-global `esc_config`, and the AVS
+easydict `cfg`); presets reproduce each reference `train.sh`.
+
+Reference hyperparameters are cited against /root/reference:
+  * audio constants: AVMOE/AVE/nets/esc_config.py:48-69
+  * adapter flags:   AVMOE/AVE/train.sh:1-49, AVMOE/AVE/base_options.py:158-196
+  * model geometry:  AVMOE/AVE/nets/net_trans_v3.py:489-637
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Audio front-end (waveform -> log-mel spectrogram image)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AudioFrontendConfig:
+    """Log-mel front-end constants (ref: esc_config.py:48-54, htsat.py:434-453)."""
+
+    sample_rate: int = 32_000
+    n_fft: int = 1024
+    hop_length: int = 320
+    win_length: int = 1024
+    n_mels: int = 64
+    fmin: float = 50.0
+    fmax: float = 14_000.0
+    amin: float = 1e-10
+    ref: float = 1.0
+    # SpecAugment (ref: htsat.py:451-452)
+    time_drop_width: int = 64
+    time_stripes_num: int = 2
+    freq_drop_width: int = 8
+    freq_stripes_num: int = 2
+
+
+# ---------------------------------------------------------------------------
+# Backbones
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HTSATConfig:
+    """HTS-AT audio Swin transformer (ref: htsat.py:370-492, esc_config.py:62-69)."""
+
+    spec_size: int = 256
+    patch_size: int = 4
+    patch_stride: Tuple[int, int] = (4, 4)
+    in_chans: int = 1
+    num_classes: int = 527
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    frontend: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
+
+    @property
+    def freq_ratio(self) -> int:
+        return self.spec_size // self.frontend.n_mels
+
+    @property
+    def patches_resolution(self) -> Tuple[int, int]:
+        return (
+            self.spec_size // self.patch_stride[0],
+            self.spec_size // self.patch_stride[1],
+        )
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+
+@dataclass(frozen=True)
+class SwinV2Config:
+    """Swin-V2 vision transformer, matching timm's swinv2_{base,large}_window12_192_22k
+    geometry (ref usage: net_trans_v3.py:513, consumed piecewise :688-726)."""
+
+    img_size: int = 192
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dim: int = 192
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    window_size: int = 12
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    pretrained_window_sizes: Tuple[int, ...] = (12, 12, 12, 6)
+
+    @property
+    def patches_resolution(self) -> Tuple[int, int]:
+        r = self.img_size // self.patch_size
+        return (r, r)
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+    @staticmethod
+    def large() -> "SwinV2Config":
+        return SwinV2Config()
+
+    @staticmethod
+    def base() -> "SwinV2Config":
+        return SwinV2Config(embed_dim=128, num_heads=(4, 8, 16, 32))
+
+
+# ---------------------------------------------------------------------------
+# MoE adapter fabric
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AdapterConfig:
+    """Per-expert adapter knobs (ref: net_trans_v3.py:296-435, train.sh)."""
+
+    downsample: int = 8           # reduction factor (train.sh: Adapter_downsample=8)
+    num_conv_group: int = 2       # grouped 1x1 bottleneck (train.sh: num_conv_group=2)
+    num_tokens: int = 32          # latent tokens in cross-modal experts
+    use_bn: bool = True           # train.sh: is_bn=1
+    use_gate: bool = True         # train.sh: is_gate=1
+    before_layernorm: bool = True  # train.sh: is_before_layernorm=1
+    post_layernorm: bool = True    # train.sh: is_post_layernorm=1
+    self_attention: bool = False   # unimodal self-attn (train.sh: 0)
+
+
+@dataclass(frozen=True)
+class MoEConfig:
+    """Router + expert mixture (ref: net_trans_v3.py:438-487; LB loss: mgn.py:213-224;
+    router noise: avs_s4/model/PVT_AVSModel_v2.py:294-296)."""
+
+    num_multimodal_experts: int = 1
+    num_singlemodal_experts: int = 1
+    router_hidden: Tuple[int, int] = (128, 32)
+    load_balance_loss: bool = False    # AVVP/AVS variants add KL-to-uniform LB loss
+    router_noise_std: float = 0.0      # AVS adds 0.01 gaussian noise at train time
+    adapter: AdapterConfig = field(default_factory=AdapterConfig)
+
+    @property
+    def num_experts(self) -> int:
+        return self.num_multimodal_experts + self.num_singlemodal_experts
+
+
+@dataclass(frozen=True)
+class InjectionConfig:
+    """Where adapters attach in the lock-step dual-backbone loop
+    (ref: net_trans_v3.py:599-637, 683-722)."""
+
+    audio_adapter_p1: bool = True   # around the attention sub-block
+    audio_adapter_p2: bool = True   # around the MLP sub-block
+    num_skip: int = 2               # stages with (idx+1) % num_skip == 0 run w/o adapters
+
+
+# ---------------------------------------------------------------------------
+# Task-level configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AVEConfig:
+    """AVE event localization (ref: AVMOE/AVE/train.sh, net_trans_v3.py:489-762)."""
+
+    num_classes: int = 28
+    num_segments: int = 10          # 10 x 1s segments per clip
+    audio_len: int = 32_000         # samples per segment
+    d_model: int = 256
+    is_cmbs: bool = True
+    is_temporal_att: bool = True
+    is_inter_in_cmbs: bool = False
+    swin: SwinV2Config = field(default_factory=SwinV2Config.large)
+    htsat: HTSATConfig = field(default_factory=HTSATConfig)
+    moe: MoEConfig = field(default_factory=MoEConfig)
+    injection: InjectionConfig = field(default_factory=InjectionConfig)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings (ref: main_trans_v3.py:322-348, train.sh)."""
+
+    batch_size: int = 2
+    accum_steps: int = 8
+    epochs: int = 50
+    lr: float = 5e-4
+    lr_mlp: float = 5e-6
+    decay: float = 0.35            # StepLR gamma
+    decay_epoch: int = 3           # StepLR step size
+    early_stop: int = 20
+    seed: int = 999
+    mixup_alpha: float = 0.5
+    dtype: str = "float32"         # compute dtype for backbone matmuls
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+
+def ave_train_preset() -> Tuple[AVEConfig, TrainConfig]:
+    """Reproduces AVMOE/AVE/train.sh hyperparameters."""
+    return AVEConfig(), TrainConfig()
+
+
+def _tiny_frontend() -> AudioFrontendConfig:
+    return AudioFrontendConfig(
+        sample_rate=4000, n_fft=256, hop_length=125, win_length=256,
+        n_mels=16, fmin=50.0, fmax=1800.0,
+        time_drop_width=8, time_stripes_num=2, freq_drop_width=2, freq_stripes_num=2,
+    )
+
+
+def tiny_htsat() -> HTSATConfig:
+    """Structure-preserving miniature HTS-AT for tests / dry runs.
+
+    spec 64, mel 16 -> freq_ratio 4 (same as prod); patches 16x16;
+    depths (2,2,6,2) shape preserved but dims tiny.
+    """
+    return HTSATConfig(
+        spec_size=64, patch_size=4, patch_stride=(4, 4), embed_dim=16,
+        depths=(2, 2, 6, 2), num_heads=(2, 2, 2, 2), window_size=4,
+        drop_path_rate=0.0, frontend=_tiny_frontend(),
+    )
+
+
+def tiny_swin() -> SwinV2Config:
+    return SwinV2Config(
+        img_size=64, patch_size=4, embed_dim=16, depths=(2, 2, 18, 2),
+        num_heads=(2, 2, 2, 2), window_size=4, drop_path_rate=0.0,
+        pretrained_window_sizes=(0, 0, 0, 0),
+    )
+
+
+def tiny_ave_config() -> AVEConfig:
+    return AVEConfig(
+        num_segments=2,
+        audio_len=4000,
+        d_model=32,
+        swin=tiny_swin(),
+        htsat=tiny_htsat(),
+        moe=MoEConfig(adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=8)),
+    )
+
+
+def replace(cfg, **kwargs):
+    """Functional config update."""
+    return dataclasses.replace(cfg, **kwargs)

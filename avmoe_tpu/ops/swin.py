@@ -1,0 +1,426 @@
+"""Swin transformer building blocks, channels-last, adapter-seam aware.
+
+Covers both attention generations the framework needs:
+
+  * V1 (pre-norm, learned relative-position-bias table) - the HTS-AT audio
+    backbone (ref: AVMOE/AVE/nets/htsat.py:50-251).
+  * V2 (post-norm, cosine attention + continuous position bias MLP) - the
+    timm swinv2_large_window12_192 vision backbone the reference consumes
+    piecewise (ref: net_trans_v3.py:513, 688-726).
+
+Every block exposes `attn_residual` / `mlp_residual` seams so the MoE
+injection engine can weave adapter residuals between the two sub-blocks
+exactly where the reference does (net_trans_v3.py:695-720).
+
+TPU notes: window partition/reverse are pure reshapes+transposes (free at the
+XLA level); position biases are precomputed-index gathers over tiny tables;
+attention is einsum -> MXU. A fused Pallas window-attention kernel can swap in
+behind the same module API (see avmoe_tpu/ops/pallas/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Static host-side geometry helpers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """(Wh*Ww, Wh*Ww) int32 index into a (2Wh-1)(2Ww-1) bias table."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))  # 2,Wh,Ww
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2,N,N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(h: int, w: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """(nW, N, N) additive attention mask (0 / -100) for shifted windows."""
+    if shift == 0:
+        return None
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(h // window, window, w // window, window)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)  # nW, N
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def log_cpb_coords_table(wh: int, ww: int, pre_wh: int, pre_ww: int) -> np.ndarray:
+    """((2Wh-1)(2Ww-1), 2) log-spaced relative coordinates for the Swin-V2
+    continuous-position-bias MLP (matches timm's normalization)."""
+    ch = np.arange(-(wh - 1), wh, dtype=np.float64)
+    cw = np.arange(-(ww - 1), ww, dtype=np.float64)
+    table = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1)  # 2Wh-1,2Ww-1,2
+    denom_h = (pre_wh - 1) if pre_wh > 0 else (wh - 1)
+    denom_w = (pre_ww - 1) if pre_ww > 0 else (ww - 1)
+    table[..., 0] /= max(denom_h, 1)
+    table[..., 1] /= max(denom_w, 1)
+    table *= 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.reshape(-1, 2).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """(B, H, W, C) -> (B * nW, window*window, C)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, C)
+
+
+def window_reverse(windows: jax.Array, window: int, h: int, w: int) -> jax.Array:
+    """(B * nW, window*window, C) -> (B, H, W, C)."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((h // window) * (w // window))
+    x = windows.reshape(B, h // window, w // window, window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, h, w, C)
+
+
+# ---------------------------------------------------------------------------
+# Common layers
+# ---------------------------------------------------------------------------
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (fc -> act -> drop -> fc -> drop)."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth on the residual branch (per-sample)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens. Channels-last conv, optional LayerNorm.
+
+    ref: AVMOE/AVE/nets/layers.py:56-86 (supports patch_size != stride via
+    symmetric padding, as HTS-AT configures).
+    """
+
+    embed_dim: int
+    patch_size: Tuple[int, int]
+    patch_stride: Tuple[int, int]
+    use_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ph, pw = self.patch_size
+        sh, sw = self.patch_stride
+        pad_h = (ph - sh) // 2
+        pad_w = (pw - sw) // 2
+        x = nn.Conv(
+            self.embed_dim, kernel_size=(ph, pw), strides=(sh, sw),
+            padding=((pad_h, ph - sh - pad_h), (pad_w, pw - sw - pad_w)),
+            dtype=self.dtype, name="proj",
+        )(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        if self.use_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        return x
+
+
+class PatchMergingV1(nn.Module):
+    """Swin-V1 downsample: 2x2 concat -> LayerNorm(4C) -> Linear(4C->2C).
+
+    ref: htsat.py:259-295.
+    """
+
+    input_resolution: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        # gather 2x2 neighborhoods in the reference's (x0,x1,x2,x3) order:
+        # x0=(0,0) x1=(1,0) x2=(0,1) x3=(1,1) over (row, col) offsets
+        x = x.transpose(0, 1, 3, 4, 2, 5)  # B, H/2, W/2, colpar, rowpar, C
+        x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class PatchMergingV2(nn.Module):
+    """Swin-V2 downsample: 2x2 concat -> Linear(4C->2C) -> LayerNorm(2C)
+    (norm after reduction, matching timm swinv2)."""
+
+    input_resolution: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 4, 2, 5)
+        x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        x = nn.LayerNorm(name="norm")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Window attention
+# ---------------------------------------------------------------------------
+
+
+class WindowAttentionV1(nn.Module):
+    """Scaled-dot-product window attention with a learned relative-position
+    bias table (ref: htsat.py:50-128)."""
+
+    dim: int
+    window: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False):
+        B_, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, D)
+
+        scale = D ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
+
+        wh, ww = self.window
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wh - 1) * (2 * ww - 1), H),
+        )
+        idx = jnp.asarray(relative_position_index(wh, ww))
+        bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
+            attn = attn.reshape(B_, H, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class WindowAttentionV2(nn.Module):
+    """Swin-V2 cosine window attention with continuous position bias
+    (matches timm's swinv2: q/v-only bias, learnable per-head logit scale
+    clamped at log(100), 2-layer CPB MLP over log-spaced coords, 16*sigmoid)."""
+
+    dim: int
+    window: Tuple[int, int]
+    num_heads: int
+    pretrained_window: Tuple[int, int] = (0, 0)
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    cpb_hidden: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False):
+        B_, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (C, 3 * C)
+        )
+        q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
+        qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+        qkv = x.astype(self.dtype) @ qkv_kernel.astype(self.dtype) + qkv_bias.astype(self.dtype)
+        qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        # cosine attention
+        q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda rng, shape: jnp.full(shape, float(np.log(10.0))),
+            (H, 1, 1),
+        )
+        logit_scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
+        attn = attn * logit_scale[None]
+
+        # continuous position bias
+        wh, ww = self.window
+        pwh, pww = self.pretrained_window
+        coords = jnp.asarray(log_cpb_coords_table(wh, ww, pwh, pww))
+        cpb = nn.Dense(self.cpb_hidden, name="cpb_fc1")(coords)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(H, use_bias=False, name="cpb_fc2")(cpb)  # (T, H)
+        idx = jnp.asarray(relative_position_index(wh, ww))
+        bias = cpb[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
+        bias = 16.0 * jax.nn.sigmoid(bias)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
+            attn = attn.reshape(B_, H, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Swin block with injection seams
+# ---------------------------------------------------------------------------
+
+
+class SwinBlock(nn.Module):
+    """One Swin transformer block over (B, N, C) tokens.
+
+    `version='v1'` is pre-norm (HTS-AT): x + dp(attn(norm1(x))), x + dp(mlp(norm2(x))).
+    `version='v2'` is post-norm (timm swinv2): x + dp(norm1(attn(x))), x + dp(norm2(mlp(x))).
+
+    `attn_residual` / `mlp_residual` return just the residual deltas so the MoE
+    injection engine can interleave adapter residuals (ref: net_trans_v3.py:702-720).
+    Window size / shift auto-shrink when the resolution is smaller than the
+    window (ref: htsat.py:164-167; timm _calc_window_shift).
+    """
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int
+    shift_size: int
+    version: str = "v1"
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    pretrained_window: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def _geometry(self) -> Tuple[int, int]:
+        window, shift = self.window_size, self.shift_size
+        if min(self.input_resolution) <= window:
+            window = min(self.input_resolution)
+            shift = 0
+        return window, shift
+
+    def setup(self):
+        window, shift = self._geometry()
+        if self.version == "v1":
+            self.attn = WindowAttentionV1(
+                dim=self.dim, window=(window, window), num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias, attn_drop=self.attn_drop, proj_drop=self.drop,
+                dtype=self.dtype,
+            )
+        else:
+            self.attn = WindowAttentionV2(
+                dim=self.dim, window=(window, window), num_heads=self.num_heads,
+                pretrained_window=(self.pretrained_window, self.pretrained_window),
+                attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            )
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.mlp = Mlp(
+            hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+            dropout=self.drop, dtype=self.dtype,
+        )
+        self.dp1 = DropPath(self.drop_path)
+        self.dp2 = DropPath(self.drop_path)
+
+    def _windowed_attn(self, x, *, train: bool):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        window, shift = self._geometry()
+        xg = x.reshape(B, H, W, C)
+        if shift > 0:
+            xg = jnp.roll(xg, (-shift, -shift), axis=(1, 2))
+        wins = window_partition(xg, window)
+        mask_np = shifted_window_mask(H, W, window, shift)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        wins = self.attn(wins, mask=mask, train=train)
+        xg = window_reverse(wins, window, H, W)
+        if shift > 0:
+            xg = jnp.roll(xg, (shift, shift), axis=(1, 2))
+        return xg.reshape(B, L, C)
+
+    def attn_residual(self, x, *, train: bool = False):
+        """Residual delta of the attention sub-block (pre/post-norm aware)."""
+        if self.version == "v1":
+            return self.dp1(self._windowed_attn(self.norm1(x), train=train), train=train)
+        return self.dp1(self.norm1(self._windowed_attn(x, train=train)), train=train)
+
+    def mlp_residual(self, x, *, train: bool = False):
+        """Residual delta of the MLP sub-block."""
+        if self.version == "v1":
+            return self.dp2(self.mlp(self.norm2(x), train=train), train=train)
+        return self.dp2(self.norm2(self.mlp(x, train=train)), train=train)
+
+    def __call__(self, x, *, train: bool = False):
+        x = x + self.attn_residual(x, train=train)
+        x = x + self.mlp_residual(x, train=train)
+        return x

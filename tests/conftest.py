@@ -1,0 +1,16 @@
+"""Test harness: force an 8-device virtual CPU platform before JAX initializes.
+
+Multi-chip sharding tests run against this virtual mesh; real-TPU benchmarks
+live in bench.py, not in the test suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
