@@ -1,0 +1,195 @@
+"""HTS-AT: hierarchical token-semantic audio transformer, TPU-native.
+
+Re-creation of the reference's HTS-AT (ref: AVMOE/AVE/nets/htsat.py:370-826;
+paper: HTS-AT, Chen et al. 2022) on top of the shared Swin-V1 blocks:
+
+  waveform -> log-mel (GEMM STFT) -> per-mel-bin BatchNorm -> [SpecAugment,
+  mixup] -> wav2img frequency fold -> patch embed -> 4 Swin stages -> TSCAM.
+
+The encoder exposes:
+  * `embed(wave, ...)`          - tokens after patch embedding (lock-step entry)
+  * `block_specs` / submodule block list - for the MoE injection engine
+  * `__call__(wave, ...)`       - standalone audio tagging: clipwise +
+                                  framewise outputs via the TSCAM conv head
+                                  (ref: htsat.py:536-543, 619-705).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from avmoe_tpu.audio import frontend as fe
+from avmoe_tpu.backbones.geometry import BlockSpec, stage_boundaries, swin_stage_specs
+from avmoe_tpu.config import HTSATConfig
+from avmoe_tpu.ops.swin import PatchEmbed, PatchMergingV1, SwinBlock
+
+
+class HTSATEncoder(nn.Module):
+    cfg: HTSATConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def block_specs(self) -> List[BlockSpec]:
+        return swin_stage_specs(
+            self.cfg.embed_dim,
+            self.cfg.depths,
+            self.cfg.num_heads,
+            self.cfg.patches_resolution,
+            self.cfg.window_size,
+            self.cfg.drop_path_rate,
+        )
+
+    @property
+    def stage_ranges(self) -> List[Tuple[int, int]]:
+        return stage_boundaries(self.cfg.depths)
+
+    def setup(self):
+        c = self.cfg
+        self.bn0 = nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5)
+        self.patch_embed = PatchEmbed(
+            embed_dim=c.embed_dim,
+            patch_size=(c.patch_size, c.patch_size),
+            patch_stride=c.patch_stride,
+            use_norm=c.patch_norm,
+            dtype=self.dtype,
+        )
+        self.blocks = [
+            SwinBlock(
+                dim=s.dim,
+                input_resolution=s.resolution,
+                num_heads=s.num_heads,
+                window_size=s.window_size,
+                shift_size=s.shift_size,
+                version="v1",
+                mlp_ratio=c.mlp_ratio,
+                qkv_bias=c.qkv_bias,
+                drop=c.drop_rate,
+                attn_drop=c.attn_drop_rate,
+                drop_path=s.drop_path,
+                dtype=self.dtype,
+                name=f"block_{s.stage}_{s.index_in_stage}",
+            )
+            for s in self.block_specs
+        ]
+        n_stages = len(c.depths)
+        self.downsamples = [
+            PatchMergingV1(
+                input_resolution=(
+                    c.patches_resolution[0] // 2**i,
+                    c.patches_resolution[1] // 2**i,
+                ),
+                dtype=self.dtype,
+                name=f"downsample_{i}",
+            )
+            for i in range(n_stages - 1)
+        ]
+        self.norm = nn.LayerNorm()
+        if c.ape:
+            self.absolute_pos_embed = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, c.patches_resolution[0] * c.patches_resolution[1], c.embed_dim),
+            )
+        # TSCAM head (ref: htsat.py:536-543): grouped-freq conv over the final map
+        sf = c.spec_size // (2 ** (len(c.depths) - 1)) // c.patch_stride[0] // c.freq_ratio
+        self.tscam_conv = nn.Conv(
+            c.num_classes, kernel_size=(sf, 3), padding=((0, 0), (1, 1)),
+            dtype=self.dtype, name="tscam_conv",
+        )
+        self.head = nn.Dense(c.num_classes, dtype=self.dtype, name="head")
+
+    # -- front half -------------------------------------------------------
+
+    def spectrogram_image(
+        self,
+        wave: jax.Array,
+        *,
+        train: bool = False,
+        mixup_lambda: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """(B, L) wave -> (B, S, S, 1) folded log-mel image with bn0/specaug/mixup
+        (ref order: htsat.py:753-763)."""
+        c = self.cfg
+        spec = fe.log_mel_spectrogram(wave.astype(jnp.float32), c.frontend)
+        # bn0 normalizes per mel bin (ref: htsat.py:453, applied :757-759)
+        spec = self.bn0(spec, use_running_average=not train)
+        if train:
+            spec = fe.spec_augment(self.make_rng("specaug"), spec, c.frontend)
+        if train and mixup_lambda is not None:
+            spec = fe.mixup(spec, mixup_lambda)
+        return fe.reshape_wav2img(spec, c.spec_size, c.freq_ratio).astype(self.dtype)
+
+    def embed(
+        self,
+        wave: jax.Array,
+        *,
+        train: bool = False,
+        mixup_lambda: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """wave -> (B, N0, embed_dim) patch tokens (lock-step entry point)."""
+        img = self.spectrogram_image(wave, train=train, mixup_lambda=mixup_lambda)
+        x = self.patch_embed(img)
+        if self.cfg.ape:
+            x = x + self.absolute_pos_embed
+        return x
+
+    # -- full standalone model --------------------------------------------
+
+    def forward_features(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        """Run all stages on embedded tokens -> (B, N_last, num_features)."""
+        for stage, (lo, hi) in enumerate(self.stage_ranges):
+            for i in range(lo, hi):
+                x = self.blocks[i](x, train=train)
+            if stage < len(self.downsamples):
+                x = self.downsamples[stage](x)
+        return x
+
+    def __call__(
+        self,
+        wave: jax.Array,
+        *,
+        train: bool = False,
+        mixup_lambda: Optional[jax.Array] = None,
+    ):
+        """Standalone audio tagging forward (ref: htsat.py:619-685).
+
+        Returns dict with 'clipwise_output' (B, num_classes), 'framewise_output'
+        (B, T_frames, num_classes), 'latent_output' (B, num_features).
+        """
+        c = self.cfg
+        x = self.embed(wave, train=train, mixup_lambda=mixup_lambda)
+        x = self.forward_features(x, train=train)
+        x = self.norm(x)
+        B, N, C = x.shape
+        down = 2 ** (len(c.depths) - 1)
+        sf = c.spec_size // down // c.patch_stride[0]
+        st = c.spec_size // down // c.patch_stride[1]
+        # tokens -> (B, SF, ST, C) grid, then undo the freq fold: rows were
+        # r*F' + f, so regroup SF into (freq_ratio, F'/ratio) and splice time.
+        grid = x.reshape(B, sf, st, C)
+        cfb = sf // c.freq_ratio  # true freq bins at this scale
+        grid = grid.reshape(B, c.freq_ratio, cfb, st, C)
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(B, cfb, c.freq_ratio * st, C)
+
+        latent = grid.reshape(B, -1, C).mean(axis=1)
+
+        logits_map = self.tscam_conv(grid)  # (B, 1, T, num_classes) after valid-F conv
+        logits_map = logits_map.reshape(B, -1, c.num_classes)  # (B, T, cls)
+        framewise = jax.nn.sigmoid(logits_map)
+        # time-interp framewise output to 8 * patch_stride ticks (ref: htsat.py:663)
+        reps = (8 * c.patch_stride[1] * c.freq_ratio * st) // logits_map.shape[1] \
+            if logits_map.shape[1] > 0 else 1
+        framewise = jnp.repeat(framewise, max(reps, 1), axis=1)
+        clipwise_logits = logits_map.mean(axis=1)
+        clipwise = jax.nn.sigmoid(clipwise_logits)
+        return {
+            "clipwise_output": clipwise,
+            "clipwise_logits": clipwise_logits,
+            "framewise_output": framewise,
+            "latent_output": latent,
+        }

@@ -1,0 +1,30 @@
+"""Shared classification losses (BCE / CE / label smoothing)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def binary_cross_entropy_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean sigmoid BCE (== torch BCEWithLogitsLoss default reduction)."""
+    return optax.sigmoid_binary_cross_entropy(logits, targets).mean()
+
+
+def cross_entropy_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax CE with integer labels (== torch CrossEntropyLoss)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def binary_cross_entropy(probs: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Mean BCE on probabilities (== torch BCELoss)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    return -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p)).mean()
+
+
+def label_smoothed_bce(probs: jax.Array, targets: jax.Array, smooth: float) -> jax.Array:
+    """BCE on probabilities with AVVP-style label clamping
+    (ref: AVMOE/AVVP/main.py:51-55 uses v = (1 - a) * v + a / 2 smoothing)."""
+    t = (1.0 - smooth) * targets + smooth / 2.0
+    return binary_cross_entropy(probs, t)

@@ -1,0 +1,238 @@
+"""AVMoE adapter experts + soft router - the trainable core of the framework.
+
+TPU-native redesign of the reference's ExpertAdapter / MoEAdapter
+(ref: AVMOE/AVE/nets/net_trans_v3.py:296-487; AVVP LB-loss variant
+mgn.py:161-224; AVS noisy-router variant avs_s4/model/PVT_AVSModel_v2.py:253-318):
+
+  * Everything stays channels-last (B, N, C); the reference's (B, C, N, 1)
+    conv layout becomes grouped einsum matmuls that map straight onto the MXU.
+  * All E experts are evaluated densely (soft MoE: the router's softmax
+    weights every expert's output; argmax is telemetry only), so expert
+    parameters are STACKED and evaluated under one `nn.vmap` - a single
+    batched GEMM per layer instead of a Python loop over experts, and no
+    all-to-all is ever needed on the mesh.
+  * Router noise / load-balance loss reproduce the AVVP/AVS variants behind
+    config flags.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avmoe_tpu.config import AdapterConfig, MoEConfig
+
+
+class GroupedDense(nn.Module):
+    """Grouped 1x1 projection over the channel axis: equivalent to the
+    reference's grouped Conv2d(k=1) bottleneck (net_trans_v3.py:320-324) but
+    expressed as a block-diagonal einsum."""
+
+    features: int
+    num_groups: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        g = self.num_groups
+        assert in_dim % g == 0 and self.features % g == 0, (in_dim, self.features, g)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (g, in_dim // g, self.features // g)
+        )
+        xg = x.reshape(x.shape[:-1] + (g, in_dim // g))
+        out = jnp.einsum("...gi,gio->...go", xg.astype(self.dtype), kernel.astype(self.dtype))
+        out = out.reshape(x.shape[:-1] + (self.features,))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+        return out
+
+
+class _Bottleneck(nn.Module):
+    """down-project -> BN -> [ReLU] -> up-project -> BN (shared by both expert
+    flavors; the cross-modal expert activates between the projections, the
+    unimodal one does not - matching net_trans_v3.py:395-422)."""
+
+    dim: int
+    cfg: AdapterConfig
+    use_activation: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        hidden = max(self.dim // self.cfg.downsample, self.cfg.num_conv_group)
+        z = GroupedDense(hidden, self.cfg.num_conv_group, dtype=self.dtype, name="down")(x)
+        if self.cfg.use_bn:
+            z = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(z)
+        if self.use_activation:
+            z = nn.relu(z)
+        out = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype, name="up")(z)
+        if self.cfg.use_bn:
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(out)
+        return out
+
+
+class CrossModalExpert(nn.Module):
+    """Cross-modal adapter expert: learnable latent tokens attend to the other
+    modality, re-inject into x, then bottleneck (ref: net_trans_v3.py:313-403)."""
+
+    dim: int
+    cfg: AdapterConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, other: jax.Array, *, train: bool = False) -> jax.Array:
+        B, N, C = x.shape
+        T = self.cfg.num_tokens
+        tokens = self.param("latent_tokens", nn.initializers.uniform(1.0), (T, C))
+        gate_av = self.param("gate_av", nn.initializers.zeros, (1,))
+
+        rep = jnp.broadcast_to(tokens[None], (B, T, C)).astype(self.dtype)
+        # latent tokens <- other modality
+        att_o2t = jax.nn.softmax(
+            jnp.einsum("btc,bmc->btm", rep, other.astype(self.dtype),
+                       preferred_element_type=jnp.float32),
+            axis=-1,
+        ).astype(self.dtype)
+        rep = rep + jnp.einsum("btm,bmc->btc", att_o2t, other.astype(self.dtype))
+        # x <- latent tokens
+        att_t2x = jax.nn.softmax(
+            jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
+                       preferred_element_type=jnp.float32),
+            axis=-1,
+        ).astype(self.dtype)
+        x = x + gate_av * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
+
+        if self.cfg.before_layernorm:
+            x = nn.LayerNorm(name="ln_before")(x)
+        out = _Bottleneck(self.dim, self.cfg, use_activation=True, dtype=self.dtype,
+                          name="bottleneck")(x, train=train)
+        if self.cfg.post_layernorm:
+            out = nn.LayerNorm(name="ln_post")(out)
+        if self.cfg.use_gate:
+            out = self.param("gate", nn.initializers.zeros, (1,)) * out
+        return out
+
+
+class UnimodalExpert(nn.Module):
+    """Unimodal adapter expert: optional self-attention, then bottleneck
+    without inner activation (ref: net_trans_v3.py:337-363, 405-422)."""
+
+    dim: int
+    cfg: AdapterConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, other: jax.Array, *, train: bool = False) -> jax.Array:
+        del other  # unimodal: the other modality is ignored
+        if self.cfg.self_attention:
+            x = nn.MultiHeadDotProductAttention(
+                num_heads=4, dropout_rate=0.2, deterministic=not train,
+                dtype=self.dtype, name="self_attention",
+            )(x, x)
+        if self.cfg.before_layernorm:
+            x = nn.LayerNorm(name="ln_before")(x)
+        out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
+                          name="bottleneck")(x, train=train)
+        if self.cfg.post_layernorm:
+            out = nn.LayerNorm(name="ln_post")(out)
+        if self.cfg.use_gate:
+            out = self.param("gate", nn.initializers.zeros, (1,)) * out
+        return out
+
+
+def _vmap_experts(module_cls, num: int, **kwargs):
+    """Stack `num` expert instances along a leading parameter axis; inputs are
+    broadcast, outputs stacked -> one batched GEMM per expert layer."""
+    return nn.vmap(
+        module_cls,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=None,
+        out_axes=0,
+        axis_size=num,
+        methods=["__call__"],
+    )(**kwargs)
+
+
+class MoEAdapter(nn.Module):
+    """Router + dense soft mixture over cross-modal and unimodal experts.
+
+    Forward contract (ref: net_trans_v3.py:468-487):
+      1. project the other modality into this modality's token/channel shape
+         (token-axis dense == the reference's `conv_adapter`, channel dense == `fc`);
+      2. route on mean-pooled features of both modalities;
+      3. weight all experts' outputs by softmax gates (dense soft MoE).
+
+    Returns (output, aux) where aux carries expert telemetry and the optional
+    KL-to-uniform load-balance loss (ref: mgn.py:213-224).
+    """
+
+    dim: int              # this modality's channel dim
+    other_dim: int        # other modality's channel dim
+    num_tokens: int       # this modality's token count N
+    other_num_tokens: int  # other modality's token count M
+    cfg: MoEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, other: jax.Array, *, train: bool = False
+    ) -> Tuple[jax.Array, dict]:
+        B, N, C = x.shape
+        assert N == self.num_tokens and C == self.dim, (x.shape, self.num_tokens, self.dim)
+
+        # --- project other modality into this modality's shape --------------
+        token_kernel = self.param(
+            "token_proj_kernel", nn.initializers.lecun_normal(),
+            (self.num_tokens, self.other_num_tokens),
+        )
+        token_bias = self.param("token_proj_bias", nn.initializers.zeros, (self.num_tokens,))
+        other_tok = jnp.einsum(
+            "bmc,nm->bnc", other.astype(self.dtype), token_kernel.astype(self.dtype)
+        ) + token_bias[None, :, None]
+        other_proj = nn.Dense(self.dim, dtype=self.dtype, name="fc")(other_tok)  # (B, N, C)
+
+        # --- router ---------------------------------------------------------
+        pooled = jnp.concatenate([x.mean(axis=1), other_proj.mean(axis=1)], axis=-1)
+        h = pooled.astype(jnp.float32)
+        for i, width in enumerate(self.cfg.router_hidden):
+            h = nn.relu(nn.Dense(width, name=f"router_fc{i}")(h))
+        logits = nn.Dense(self.cfg.num_experts, name="router_out")(h)  # (B, E)
+        if train and self.cfg.router_noise_std > 0:
+            logits = logits + self.cfg.router_noise_std * jax.random.normal(
+                self.make_rng("router"), logits.shape
+            )
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        # --- dense expert mixture -------------------------------------------
+        outs = []
+        if self.cfg.num_multimodal_experts > 0:
+            mm = _vmap_experts(
+                CrossModalExpert, self.cfg.num_multimodal_experts,
+                dim=self.dim, cfg=self.cfg.adapter, dtype=self.dtype,
+                name="multimodal_experts",
+            )
+            outs.append(mm(x, other_proj, train=train))  # (Em, B, N, C)
+        if self.cfg.num_singlemodal_experts > 0:
+            sm = _vmap_experts(
+                UnimodalExpert, self.cfg.num_singlemodal_experts,
+                dim=self.dim, cfg=self.cfg.adapter, dtype=self.dtype,
+                name="singlemodal_experts",
+            )
+            outs.append(sm(x, other_proj, train=train))
+        expert_out = jnp.concatenate(outs, axis=0)  # (E, B, N, C)
+        out = jnp.einsum("ebnc,be->bnc", expert_out, probs.astype(expert_out.dtype))
+
+        aux = {
+            "gating_probs": probs,                        # (B, E)
+            "expert_index": jnp.argmax(probs, axis=-1),   # (B,)
+        }
+        if self.cfg.load_balance_loss:
+            mean_p = jnp.clip(probs.mean(axis=0), 1e-9, 1.0)  # (E,)
+            aux["lb_loss"] = jnp.sum(mean_p * jnp.log(mean_p * self.cfg.num_experts))
+        return out, aux

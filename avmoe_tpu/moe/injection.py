@@ -1,0 +1,230 @@
+"""Lock-step dual-backbone encoder with MoE adapter injection.
+
+Runs the frozen Swin-V2 vision backbone and HTS-AT audio backbone
+block-by-block in lock-step, weaving trainable MoE adapter residuals around
+the attention (p1) and MLP (p2) sub-blocks of both modalities - the exact
+injection schedule of the reference (ref: net_trans_v3.py:639-759):
+
+  * stages whose (index+1) % num_skip == 0 run WITHOUT adapters
+    (ref: :573-574, :687-692);
+  * when the visual stage is deeper than the audio stage (Swin-V2-L 18 vs
+    HTS-AT 6 in stage 3), audio blocks fire every ratio-th visual block at
+    offset ratio-1 (ref interleave: :678-681);
+  * p1 adapters read the PRE-block features of both modalities; the visual
+    block is split at its attention/MLP seam while the audio block runs
+    whole between them (ref: :695-720).
+
+All adapters are independent modules (one per site, matching the reference's
+per-block ModuleLists :599-637) and their router telemetry is stacked into
+(site, batch, expert) arrays for the expert-usage telemetry API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avmoe_tpu.backbones.htsat import HTSATEncoder
+from avmoe_tpu.backbones.swin_v2 import SwinV2Encoder
+from avmoe_tpu.config import HTSATConfig, InjectionConfig, MoEConfig, SwinV2Config
+from avmoe_tpu.moe.adapter import MoEAdapter
+
+
+@dataclass(frozen=True)
+class AdapterSite:
+    """One injection site: a (visual block, audio block) pair in a non-skipped stage."""
+
+    site_index: int
+    stage: int
+    vis_block: int   # flat index into swin blocks
+    aud_block: int   # flat index into htsat blocks
+    vis_dim: int
+    aud_dim: int
+    vis_tokens: int
+    aud_tokens: int
+
+
+def plan_injection(
+    swin_cfg: SwinV2Config, htsat_cfg: HTSATConfig, inj: InjectionConfig
+) -> List[AdapterSite]:
+    """Static injection plan mirroring the reference's construction scan
+    (net_trans_v3.py:571-590) + forward pairing (:674-681)."""
+    from avmoe_tpu.backbones.geometry import stage_boundaries, swin_stage_specs
+
+    v_specs = swin_stage_specs(
+        swin_cfg.embed_dim, swin_cfg.depths, swin_cfg.num_heads,
+        swin_cfg.patches_resolution, swin_cfg.window_size,
+    )
+    a_specs = swin_stage_specs(
+        htsat_cfg.embed_dim, htsat_cfg.depths, htsat_cfg.num_heads,
+        htsat_cfg.patches_resolution, htsat_cfg.window_size,
+    )
+    v_ranges = stage_boundaries(swin_cfg.depths)
+    a_ranges = stage_boundaries(htsat_cfg.depths)
+
+    sites: List[AdapterSite] = []
+    for stage in range(len(swin_cfg.depths)):
+        if inj.num_skip > 1 and (stage + 1) % inj.num_skip == 0:
+            continue
+        vlo, vhi = v_ranges[stage]
+        alo, ahi = a_ranges[stage]
+        pairs = pair_stage_blocks(vhi - vlo, ahi - alo)
+        for v_off, a_off in pairs:
+            if a_off is None:
+                continue
+            vs = v_specs[vlo + v_off]
+            as_ = a_specs[alo + a_off]
+            sites.append(
+                AdapterSite(
+                    site_index=len(sites),
+                    stage=stage,
+                    vis_block=vlo + v_off,
+                    aud_block=alo + a_off,
+                    vis_dim=vs.dim,
+                    aud_dim=as_.dim,
+                    vis_tokens=vs.num_tokens,
+                    aud_tokens=as_.num_tokens,
+                )
+            )
+    return sites
+
+
+def pair_stage_blocks(n_vis: int, n_aud: int) -> List[Tuple[int, Optional[int]]]:
+    """[(vis_offset, aud_offset-or-None)] pairing within one stage.
+
+    Equal depths pair 1:1; otherwise audio block k rides visual block
+    r*k + (r-1) where r = n_vis // n_aud (the reference's hardcoded
+    [None, None, a0, None, None, a1, ...] for 18 vs 6)."""
+    if n_vis == n_aud:
+        return [(i, i) for i in range(n_vis)]
+    assert n_vis % n_aud == 0, (n_vis, n_aud)
+    r = n_vis // n_aud
+    out: List[Tuple[int, Optional[int]]] = []
+    for i in range(n_vis):
+        out.append((i, i // r if i % r == r - 1 else None))
+    return out
+
+
+class LockstepEncoder(nn.Module):
+    """Dual-backbone lock-step encoder with per-site MoE adapters.
+
+    __call__ consumes flattened frame batches:
+      wave   (B', L)           - B' = clips * segments
+      images (B', H, W, 3)
+    and returns (f_v (B', C_v), f_a (B', C_a), telemetry dict).
+    """
+
+    swin_cfg: SwinV2Config
+    htsat_cfg: HTSATConfig
+    moe_cfg: MoEConfig
+    injection_cfg: InjectionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.swin = SwinV2Encoder(self.swin_cfg, dtype=self.dtype, name="swin")
+        self.htsat = HTSATEncoder(self.htsat_cfg, dtype=self.dtype, name="htsat")
+        self.sites = plan_injection(self.swin_cfg, self.htsat_cfg, self.injection_cfg)
+
+        def make_adapters(prefix: str, audio_side: bool):
+            return [
+                MoEAdapter(
+                    dim=s.aud_dim if audio_side else s.vis_dim,
+                    other_dim=s.vis_dim if audio_side else s.aud_dim,
+                    num_tokens=s.aud_tokens if audio_side else s.vis_tokens,
+                    other_num_tokens=s.vis_tokens if audio_side else s.aud_tokens,
+                    cfg=self.moe_cfg,
+                    dtype=self.dtype,
+                    name=f"{prefix}_{s.site_index}",
+                )
+                for s in self.sites
+            ]
+
+        inj = self.injection_cfg
+        if inj.audio_adapter_p1:
+            self.audio_moe_p1 = make_adapters("audio_moe_p1", True)
+            self.vis_moe_p1 = make_adapters("vis_moe_p1", False)
+        if inj.audio_adapter_p2:
+            self.audio_moe_p2 = make_adapters("audio_moe_p2", True)
+            self.vis_moe_p2 = make_adapters("vis_moe_p2", False)
+
+    def __call__(
+        self,
+        wave: jax.Array,
+        images: jax.Array,
+        *,
+        train: bool = False,
+        mixup_lambda: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, Dict]:
+        inj = self.injection_cfg
+        f_v = self.swin.embed(images)
+        f_a = self.htsat.embed(wave, train=train, mixup_lambda=mixup_lambda)
+
+        tele: Dict[str, List] = {"audio_p1": [], "audio_p2": [], "video_p1": [], "video_p2": []}
+        lb_losses: List[jax.Array] = []
+        site_idx = 0
+
+        def run_adapter(adapters, x, other):
+            nonlocal lb_losses
+            out, aux = adapters[site_idx](x, other, train=train)
+            if "lb_loss" in aux:
+                lb_losses.append(aux["lb_loss"])
+            return out, aux
+
+        for stage in range(len(self.swin_cfg.depths)):
+            vlo, vhi = self.swin.stage_ranges[stage]
+            alo, ahi = self.htsat.stage_ranges[stage]
+            skipped = inj.num_skip > 1 and (stage + 1) % inj.num_skip == 0
+            for v_off, a_off in pair_stage_blocks(vhi - vlo, ahi - alo):
+                blk_v = self.swin.blocks[vlo + v_off]
+                blk_a = None if a_off is None else self.htsat.blocks[alo + a_off]
+                if blk_a is None:
+                    f_v = blk_v(f_v, train=train)
+                elif skipped:
+                    f_v = f_v + blk_v.attn_residual(f_v, train=train)
+                    f_a = blk_a(f_a, train=train)
+                    f_v = f_v + blk_v.mlp_residual(f_v, train=train)
+                else:
+                    # --- p1: adapters on PRE-block features -------------------
+                    if inj.audio_adapter_p1:
+                        f_a_res, aux_a = run_adapter(self.audio_moe_p1, f_a, f_v)
+                        f_v_res, aux_v = run_adapter(self.vis_moe_p1, f_v, f_a)
+                        tele["audio_p1"].append(aux_a["gating_probs"])
+                        tele["video_p1"].append(aux_v["gating_probs"])
+                        f_v = f_v + blk_v.attn_residual(f_v, train=train)
+                        f_v = f_v + f_v_res
+                    else:
+                        f_v = f_v + blk_v.attn_residual(f_v, train=train)
+                    f_a = blk_a(f_a, train=train)  # whole audio block between seams
+                    if inj.audio_adapter_p1:
+                        f_a = f_a + f_a_res
+                    # --- p2: adapters around the visual MLP sub-block ----------
+                    if inj.audio_adapter_p2:
+                        f_a_res2, aux_a2 = run_adapter(self.audio_moe_p2, f_a, f_v)
+                        f_v_res2, aux_v2 = run_adapter(self.vis_moe_p2, f_v, f_a)
+                        tele["audio_p2"].append(aux_a2["gating_probs"])
+                        tele["video_p2"].append(aux_v2["gating_probs"])
+                    f_v = f_v + blk_v.mlp_residual(f_v, train=train)
+                    if inj.audio_adapter_p2:
+                        f_v = f_v + f_v_res2
+                        f_a = f_a + f_a_res2
+                    site_idx += 1
+            if stage < len(self.swin.downsamples):
+                f_v = self.swin.downsamples[stage](f_v)
+            if stage < len(self.htsat.downsamples):
+                f_a = self.htsat.downsamples[stage](f_a)
+
+        f_v = self.swin.norm(f_v)
+        f_v = f_v.mean(axis=1)  # (B', C_v)
+        f_a = f_a.mean(axis=1)  # (B', C_a); ref pools audio w/o final norm (:734)
+
+        telemetry = {
+            k: jnp.stack(v, axis=0) if v else jnp.zeros((0,)) for k, v in tele.items()
+        }
+        telemetry["lb_loss"] = (
+            jnp.sum(jnp.stack(lb_losses)) if lb_losses else jnp.zeros(())
+        )
+        return f_v, f_a, telemetry
