@@ -1,0 +1,3 @@
+from avmoe_tpu.checkpoint.manager import CheckpointManager
+
+__all__ = ["CheckpointManager"]

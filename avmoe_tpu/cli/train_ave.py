@@ -1,0 +1,117 @@
+"""AVE training driver: `python -m avmoe_tpu.cli.train_ave [--synthetic] ...`
+
+Replaces the reference's main_trans_v3.py + train.sh combo
+(ref: AVMOE/AVE/train.sh hyperparameters; driver flow main_trans_v3.py:234-354):
+build model -> partition frozen/trainable -> Adam + StepLR + grad-accum ->
+epoch loop with eval, best-checkpoint saving, early stop, expert telemetry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avmoe_tpu.config import AVEConfig, TrainConfig, replace, tiny_ave_config
+from avmoe_tpu.data.ave import AVEDataset, SyntheticAVEDataset
+from avmoe_tpu.data.loader import BatchLoader
+from avmoe_tpu.models.ave import AVEModel, make_ave_eval_fn, make_ave_loss_fn
+from avmoe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from avmoe_tpu.train.freeze import param_report
+from avmoe_tpu.train.loop import train_and_evaluate
+from avmoe_tpu.train.state import create_train_state
+from avmoe_tpu.train.steps import make_eval_step, make_train_step
+from avmoe_tpu.checkpoint.manager import CheckpointManager
+from avmoe_tpu.telemetry.experts import ExpertUsageTracker
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true", help="random AVE-shaped data")
+    p.add_argument("--tiny", action="store_true", help="tiny model (CI smoke)")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--accum_itr", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--decay", type=float, default=0.35)
+    p.add_argument("--decay_epoch", type=int, default=3)
+    p.add_argument("--early_stop", type=int, default=20)
+    p.add_argument("--seed", type=int, default=999)
+    p.add_argument("--model_save_dir", type=str, default="checkpoints/ave")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--num_workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
+    args = parse_args()
+    cfg = tiny_ave_config() if args.tiny else AVEConfig()
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, accum_steps=args.accum_itr, epochs=args.epochs,
+        lr=args.lr, decay=args.decay, decay_epoch=args.decay_epoch,
+        early_stop=args.early_stop, seed=args.seed,
+    )
+
+    if args.synthetic or args.data_root is None:
+        train_ds = SyntheticAVEDataset(
+            length=8 * args.batch_size, num_segments=cfg.num_segments,
+            audio_len=cfg.audio_len, img_size=cfg.swin.img_size,
+            num_classes=cfg.num_classes,
+        )
+        val_ds = SyntheticAVEDataset(
+            length=2 * args.batch_size, num_segments=cfg.num_segments,
+            audio_len=cfg.audio_len, img_size=cfg.swin.img_size,
+            num_classes=cfg.num_classes, seed=1,
+        )
+    else:
+        train_ds = AVEDataset(args.data_root, "train", img_size=cfg.swin.img_size)
+        val_ds = AVEDataset(args.data_root, "test", img_size=cfg.swin.img_size)
+
+    mesh = make_mesh()
+    put = lambda b: shard_batch(b, mesh)
+    train_loader = BatchLoader(train_ds, tcfg.batch_size, shuffle=True,
+                               num_workers=args.num_workers, seed=tcfg.seed,
+                               device_put=put)
+    val_loader = BatchLoader(val_ds, tcfg.batch_size, shuffle=False,
+                             num_workers=args.num_workers, device_put=put)
+
+    model = AVEModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    sample = train_ds[0]
+    init_rngs = {"params": jax.random.PRNGKey(tcfg.seed),
+                 "dropout": jax.random.PRNGKey(1), "specaug": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda r, w, im: model.init(r, w, im, train=True))(
+        init_rngs,
+        jnp.asarray(sample["wave"][None]),
+        jnp.asarray(sample["images"][None]),
+    )
+    report = param_report(variables["params"])
+    logging.info("params: trainable %.4f%% additional %.4f%% total %.1fM",
+                 report["trainable_pct"], report["additional_pct"],
+                 report["total"] / 1e6)
+
+    state = create_train_state(model, variables, tcfg,
+                               steps_per_epoch=len(train_loader))
+    state = replicate(state, mesh)
+
+    train_step = make_train_step(make_ave_loss_fn(model))
+    eval_step = make_eval_step(make_ave_eval_fn(model))
+    ckpts = CheckpointManager(args.model_save_dir)
+    tracker = ExpertUsageTracker(cfg.moe.num_experts)
+
+    state, best = train_and_evaluate(
+        state=state, train_step=train_step, eval_step=eval_step,
+        train_loader=train_loader, eval_loader=val_loader,
+        epochs=tcfg.epochs, seed=tcfg.seed, early_stop=tcfg.early_stop,
+        checkpoints=ckpts, expert_tracker=tracker,
+    )
+    tracker.save(args.model_save_dir)
+    logging.info("best val accuracy: %.2f", best)
+
+
+if __name__ == "__main__":
+    main()

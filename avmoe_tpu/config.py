@@ -135,7 +135,11 @@ class AdapterConfig:
     use_gate: bool = True         # train.sh: is_gate=1
     before_layernorm: bool = True  # train.sh: is_before_layernorm=1
     post_layernorm: bool = True    # train.sh: is_post_layernorm=1
-    self_attention: bool = False   # unimodal self-attn (train.sh: 0)
+    # unimodal-expert self-attention flavor:
+    #   'none' - AVE default (is_self_attention=0)
+    #   'mha'  - AVE optional MultiheadAttention (net_trans_v3.py:343)
+    #   'bmm'  - AVVP/AVS gated dot-product self-attn (mgn.py:132-146)
+    self_attention: str = "none"
 
 
 @dataclass(frozen=True)
@@ -185,6 +189,145 @@ class AVEConfig:
     htsat: HTSATConfig = field(default_factory=HTSATConfig)
     moe: MoEConfig = field(default_factory=MoEConfig)
     injection: InjectionConfig = field(default_factory=InjectionConfig)
+
+
+@dataclass(frozen=True)
+class AVVPConfig:
+    """AVVP weakly-supervised parsing (ref: AVMOE/AVVP/train.sh, mgn.py:227-559).
+
+    Notable deltas vs AVE: adapters in EVERY stage (num_skip=1), no BatchNorm
+    in adapters (train.sh is_bn=0), bmm self-attention unimodal experts,
+    KL load-balance loss on."""
+
+    num_classes: int = 25
+    num_segments: int = 10
+    audio_len: int = 32_000
+    dim: int = 128
+    st_dim: int = 512              # r2plus1d clip features
+    depth_aud: int = 3
+    depth_vis: int = 3
+    depth_av: int = 6
+    unimodal_assign: str = "soft"   # 'soft' | 'hard'
+    crossmodal_assign: str = "soft"
+    swin: SwinV2Config = field(default_factory=SwinV2Config.large)
+    htsat: HTSATConfig = field(default_factory=HTSATConfig)
+    moe: MoEConfig = field(default_factory=lambda: MoEConfig(
+        load_balance_loss=True,
+        adapter=AdapterConfig(use_bn=False, self_attention="bmm"),
+    ))
+    injection: InjectionConfig = field(default_factory=lambda: InjectionConfig(num_skip=1))
+
+
+def tiny_avvp_config() -> "AVVPConfig":
+    return AVVPConfig(
+        num_segments=2,
+        audio_len=4000,
+        dim=32,
+        st_dim=16,
+        depth_aud=1, depth_vis=1, depth_av=1,
+        swin=tiny_swin(),
+        htsat=tiny_htsat(),
+        moe=MoEConfig(
+            load_balance_loss=True,
+            adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=8,
+                                  use_bn=False, self_attention="bmm"),
+        ),
+        injection=InjectionConfig(num_skip=1),
+    )
+
+
+@dataclass(frozen=True)
+class AVQAConfig:
+    """AVQA question answering (ref: AVMOE/AVQA/train_v2.sh,
+    net_grd_avst/net_avst_v2.py:443-833).
+
+    Notable deltas vs AVE: 2 latent tokens, no output gate (is_gate=0),
+    2 unimodal experts, adapters in every stage, 50-way answer head
+    (evaluated over the 42-word answer vocab)."""
+
+    answer_vocab: int = 42
+    fc_class: int = 50
+    qst_vocab: int = 93
+    max_qst_len: int = 30
+    word_embed: int = 1536
+    qst_hidden: int = 1536
+    d_feat: int = 1536
+    num_segments: int = 10
+    audio_len: int = 32_000
+    swin: SwinV2Config = field(default_factory=SwinV2Config.large)
+    htsat: HTSATConfig = field(default_factory=HTSATConfig)
+    moe: MoEConfig = field(default_factory=lambda: MoEConfig(
+        num_multimodal_experts=1, num_singlemodal_experts=2,
+        adapter=AdapterConfig(num_tokens=2, use_gate=False),
+    ))
+    injection: InjectionConfig = field(default_factory=lambda: InjectionConfig(num_skip=1))
+
+
+def tiny_avqa_config() -> "AVQAConfig":
+    return AVQAConfig(
+        answer_vocab=6, fc_class=8, qst_vocab=20, max_qst_len=6,
+        word_embed=16, qst_hidden=16, d_feat=128,  # == tiny swin num_features
+        num_segments=2, audio_len=4000,
+        swin=tiny_swin(), htsat=tiny_htsat(),
+        moe=MoEConfig(
+            num_multimodal_experts=1, num_singlemodal_experts=2,
+            adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=2,
+                                  use_gate=False),
+        ),
+        injection=InjectionConfig(num_skip=1),
+    )
+
+
+@dataclass(frozen=True)
+class AVSConfig:
+    """AVS sound-source segmentation, S4/MS3 (ref: avs_s4/train_v2.sh,
+    avs_{s4,ms3}/model/PVT_AVSModel_v2.py).
+
+    Deltas vs AVE: 5 frames per clip, adapters in every stage, MHA
+    self-attention in unimodal experts (is_self_attention=1), noisy router,
+    LB loss on, TPAVI on all 4 pyramid stages."""
+
+    setting: str = "s4"             # 's4' | 'ms3'
+    num_segments: int = 5
+    audio_len: int = 32_000
+    img_size: int = 224             # dataloader size; model resizes to swin's 192
+    channel: int = 256              # decoder width
+    mask_size: int = 224
+    tpavi_stages: Tuple[int, ...] = (0, 1, 2, 3)
+    tpavi_vv_flag: bool = False
+    tpavi_va_flag: bool = True
+    # decoder pyramid target sizes per stage (pvt-style)
+    pyramid_sizes: Tuple[int, ...] = (56, 28, 14, 7)
+    sa_loss_flag: bool = False
+    lambda_1: float = 0.0
+    sa_loss_stages: Tuple[int, ...] = ()
+    lb_loss_weight: float = 1.0
+    swin: SwinV2Config = field(default_factory=SwinV2Config.large)
+    htsat: HTSATConfig = field(default_factory=HTSATConfig)
+    moe: MoEConfig = field(default_factory=lambda: MoEConfig(
+        load_balance_loss=True, router_noise_std=0.01,
+        adapter=AdapterConfig(self_attention="mha"),
+    ))
+    injection: InjectionConfig = field(default_factory=lambda: InjectionConfig(num_skip=1))
+
+
+def tiny_avs_config() -> "AVSConfig":
+    return AVSConfig(
+        num_segments=2,
+        audio_len=4000,
+        img_size=64,
+        channel=32,
+        mask_size=64,
+        pyramid_sizes=(16, 8, 4, 2),  # doubling chain -> FPN ends at mask_size/2
+        swin=tiny_swin(),
+        htsat=tiny_htsat(),
+        moe=MoEConfig(
+            load_balance_loss=True, router_noise_std=0.01,
+            adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=8,
+                                  self_attention="mha"),
+        ),
+        injection=InjectionConfig(num_skip=1),
+    )
 
 
 @dataclass(frozen=True)

@@ -91,3 +91,44 @@ class AVEModel(nn.Module):
         out = jnp.concatenate([f_v, f_a], axis=-1).reshape(B * T, -1)
         probs = jax.nn.softmax(self.mlp_class_2(self.mlp_class(out)), axis=-1)
         return {"segment_probs": probs.reshape(B, T, -1), "telemetry": telemetry}
+
+
+def make_ave_loss_fn(model: AVEModel, lb_weight: float = 0.0):
+    """Loss closure for make_train_step: BCE + 2xCE (+optional LB)
+    with accuracy as an aux metric."""
+    from avmoe_tpu.losses.ave import ave_loss
+    from avmoe_tpu.metrics.ave import ave_accuracy
+
+    def loss_fn(variables, batch, rngs):
+        out, upd = model.apply(
+            variables,
+            batch["wave"],
+            batch["images"],
+            train=True,
+            mixup_lambda=batch.get("mixup_lambda"),
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        loss, aux = ave_loss(out, batch["labels"], lb_weight)
+        aux["accuracy"] = ave_accuracy(
+            out["is_event_logits"], out["event_logits"], batch["labels"]
+        )
+        return loss, (aux, upd["batch_stats"])
+
+    return loss_fn
+
+
+def make_ave_eval_fn(model: AVEModel):
+    """Eval closure: accuracy + telemetry for the expert-usage tracker."""
+    from avmoe_tpu.metrics.ave import ave_accuracy
+
+    def eval_fn(variables, batch):
+        out = model.apply(variables, batch["wave"], batch["images"], train=False)
+        return {
+            "accuracy": ave_accuracy(
+                out["is_event_logits"], out["event_logits"], batch["labels"]
+            ),
+            "telemetry": out["telemetry"],
+        }
+
+    return eval_fn

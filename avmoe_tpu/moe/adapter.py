@@ -85,7 +85,7 @@ class CrossModalExpert(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, other: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, other: jax.Array, train: bool = False) -> jax.Array:
         B, N, C = x.shape
         T = self.cfg.num_tokens
         tokens = self.param("latent_tokens", nn.initializers.uniform(1.0), (T, C))
@@ -127,13 +127,23 @@ class UnimodalExpert(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, other: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, other: jax.Array, train: bool = False) -> jax.Array:
         del other  # unimodal: the other modality is ignored
-        if self.cfg.self_attention:
+        if self.cfg.self_attention == "mha":
             x = nn.MultiHeadDotProductAttention(
                 num_heads=4, dropout_rate=0.2, deterministic=not train,
                 dtype=self.dtype, name="self_attention",
             )(x, x)
+        elif self.cfg.self_attention == "bmm":
+            # AVVP-style gated dot-product self-attention (mgn.py:132-146):
+            # att[i,j] = softmax_j(x_i . x_j); res_j = sum_i att[i,j] x_i
+            gate_av = self.param("gate_av", nn.initializers.zeros, (1,))
+            att = jax.nn.softmax(
+                jnp.einsum("bic,bjc->bij", x.astype(self.dtype), x.astype(self.dtype),
+                           preferred_element_type=jnp.float32),
+                axis=-1,
+            ).astype(self.dtype)
+            x = x + gate_av * jnp.einsum("bij,bic->bjc", att, x)
         if self.cfg.before_layernorm:
             x = nn.LayerNorm(name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
@@ -217,14 +227,14 @@ class MoEAdapter(nn.Module):
                 dim=self.dim, cfg=self.cfg.adapter, dtype=self.dtype,
                 name="multimodal_experts",
             )
-            outs.append(mm(x, other_proj, train=train))  # (Em, B, N, C)
+            outs.append(mm(x, other_proj, train))  # (Em, B, N, C)
         if self.cfg.num_singlemodal_experts > 0:
             sm = _vmap_experts(
                 UnimodalExpert, self.cfg.num_singlemodal_experts,
                 dim=self.dim, cfg=self.cfg.adapter, dtype=self.dtype,
                 name="singlemodal_experts",
             )
-            outs.append(sm(x, other_proj, train=train))
+            outs.append(sm(x, other_proj, train))
         expert_out = jnp.concatenate(outs, axis=0)  # (E, B, N, C)
         out = jnp.einsum("ebnc,be->bnc", expert_out, probs.astype(expert_out.dtype))
 
@@ -233,6 +243,10 @@ class MoEAdapter(nn.Module):
             "expert_index": jnp.argmax(probs, axis=-1),   # (B,)
         }
         if self.cfg.load_balance_loss:
+            # KL(uniform || mean gate probs) with batchmean reduction, matching
+            # F.kl_div(mean_p.log(), uniform, 'batchmean') (ref: mgn.py:218-224)
+            E = self.cfg.num_experts
             mean_p = jnp.clip(probs.mean(axis=0), 1e-9, 1.0)  # (E,)
-            aux["lb_loss"] = jnp.sum(mean_p * jnp.log(mean_p * self.cfg.num_experts))
+            u = 1.0 / E
+            aux["lb_loss"] = jnp.sum(u * (jnp.log(u) - jnp.log(mean_p))) / E
         return out, aux

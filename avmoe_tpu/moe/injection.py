@@ -159,7 +159,30 @@ class LockstepEncoder(nn.Module):
         train: bool = False,
         mixup_lambda: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, Dict]:
+        """Pooled features: (f_v (B', C_v), f_a (B', C_a), telemetry)."""
+        f_v, f_a, telemetry = self.forward_tokens(
+            wave, images, train=train, mixup_lambda=mixup_lambda)
+        # ref pools visual after final norm, audio without norm (:732-734)
+        return f_v.mean(axis=1), f_a.mean(axis=1), telemetry
+
+    def forward_tokens(
+        self,
+        wave: jax.Array,
+        images: jax.Array,
+        *,
+        train: bool = False,
+        mixup_lambda: Optional[jax.Array] = None,
+        collect_stages: bool = False,
+    ) -> Tuple[jax.Array, jax.Array, Dict]:
+        """Token-level outputs: f_v (B', N_last, C_v) after the final visual
+        norm, f_a (B', M_last, C_a) un-normed (ref: net_trans_v3.py:732-734);
+        AVQA consumes the visual grid for spatial grounding.
+
+        With collect_stages=True, telemetry['stage_tokens'] holds each stage's
+        visual tokens BEFORE downsampling (last stage normed) - the AVS
+        multi-scale capture (ref: avs_s4/model/PVT_AVSModel_v2.py:873-877)."""
         inj = self.injection_cfg
+        stage_tokens: List[jax.Array] = []
         f_v = self.swin.embed(images)
         f_a = self.htsat.embed(wave, train=train, mixup_lambda=mixup_lambda)
 
@@ -212,14 +235,15 @@ class LockstepEncoder(nn.Module):
                         f_v = f_v + f_v_res2
                         f_a = f_a + f_a_res2
                     site_idx += 1
+            if collect_stages:
+                is_last = stage == len(self.swin_cfg.depths) - 1
+                stage_tokens.append(self.swin.norm(f_v) if is_last else f_v)
             if stage < len(self.swin.downsamples):
                 f_v = self.swin.downsamples[stage](f_v)
             if stage < len(self.htsat.downsamples):
                 f_a = self.htsat.downsamples[stage](f_a)
 
         f_v = self.swin.norm(f_v)
-        f_v = f_v.mean(axis=1)  # (B', C_v)
-        f_a = f_a.mean(axis=1)  # (B', C_a); ref pools audio w/o final norm (:734)
 
         telemetry = {
             k: jnp.stack(v, axis=0) if v else jnp.zeros((0,)) for k, v in tele.items()
@@ -227,4 +251,6 @@ class LockstepEncoder(nn.Module):
         telemetry["lb_loss"] = (
             jnp.sum(jnp.stack(lb_losses)) if lb_losses else jnp.zeros(())
         )
+        if collect_stages:
+            telemetry["stage_tokens"] = stage_tokens
         return f_v, f_a, telemetry

@@ -1,0 +1,80 @@
+"""Generic epoch-based training loop: train -> eval -> save-best -> early-stop.
+
+Mirrors the reference driver shape (ref: AVMOE/AVE/main_trans_v3.py:328-348)
+on top of jitted steps, the prefetching BatchLoader, orbax checkpoints and
+expert telemetry."""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from avmoe_tpu.telemetry.experts import ExpertUsageTracker
+from avmoe_tpu.telemetry.meters import AverageMeter, Timer
+
+log = logging.getLogger("avmoe_tpu")
+
+
+def train_and_evaluate(
+    *,
+    state,
+    train_step: Callable,
+    eval_step: Callable,
+    train_loader,
+    eval_loader,
+    epochs: int,
+    seed: int = 0,
+    early_stop: int = 0,
+    metric_key: str = "accuracy",
+    checkpoints=None,          # CheckpointManager or None
+    expert_tracker: Optional[ExpertUsageTracker] = None,
+    log_every: int = 50,
+    writer=None,               # optional metrics writer (wandb-like .log(dict))
+):
+    rng = jax.random.PRNGKey(seed)
+    best = -np.inf
+    stall = 0
+    timer = Timer()
+
+    for epoch in range(1, epochs + 1):
+        meter = AverageMeter()
+        for i, batch in enumerate(train_loader):
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, step_rng)
+            meter.add(**{k: float(v) for k, v in metrics.items()
+                         if np.ndim(v) == 0})
+            if i % log_every == 0:
+                log.info("epoch %d step %d loss %.4f", epoch, i, meter.get("loss"))
+
+        eval_meter = AverageMeter()
+        if expert_tracker is not None:
+            expert_tracker.reset()
+        for batch in eval_loader:
+            metrics = eval_step(state, batch)
+            telemetry = metrics.pop("telemetry", None)
+            eval_meter.add(**{k: float(v) for k, v in metrics.items()
+                              if np.ndim(v) == 0})
+            if expert_tracker is not None and telemetry is not None:
+                expert_tracker.update(telemetry)
+
+        val = eval_meter.get(metric_key)
+        train_loss = meter.get("loss")
+        log.info("epoch %d done in %.1fs: train_loss %.4f val_%s %.4f",
+                 epoch, timer.lap(), train_loss, metric_key, val)
+        if writer is not None:
+            writer.log({"epoch": epoch, "train_loss": train_loss,
+                        f"val_{metric_key}": val})
+
+        stall += 1
+        if val >= best:
+            best = val
+            stall = 0
+            if checkpoints is not None:
+                checkpoints.save_if_best(int(state.step), state, val)
+        if early_stop and stall >= early_stop:
+            log.info("early stop at epoch %d (best %.4f)", epoch, best)
+            break
+    return state, best

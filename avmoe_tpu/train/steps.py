@@ -19,7 +19,7 @@ from avmoe_tpu.train.state import AVMoETrainState
 def make_train_step(
     loss_fn: Callable,
     *,
-    rng_streams: Tuple[str, ...] = ("dropout", "specaug", "router"),
+    rng_streams: Tuple[str, ...] = ("dropout", "specaug", "router", "gumbel"),
     donate: bool = True,
 ) -> Callable:
     """Build a jitted train step.

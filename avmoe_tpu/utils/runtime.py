@@ -1,0 +1,33 @@
+"""Runtime utilities: compilation cache, param counting, profiling hooks."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Optional
+
+import jax
+
+
+def enable_compilation_cache(directory: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache (first compile is 20-40s on TPU;
+    cached reloads are near-instant)."""
+    directory = directory or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str):
+    """jax.profiler trace scope (view with tensorboard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
