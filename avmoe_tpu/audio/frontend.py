@@ -72,6 +72,33 @@ def _mel_to_hz(m: np.ndarray) -> np.ndarray:
     return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
 
 
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank_htk(sample_rate: int, n_fft: int, n_mels: int,
+                       fmin: float, fmax: float) -> np.ndarray:
+    """(n_freq, n_mels) HTK-scale unnormalized triangular filterbank, matching
+    the VGGish numpy pipeline (ref: avs_s4/torchvggish/mel_features.py:71-140)."""
+    n_freq = n_fft // 2 + 1
+    fftfreqs = np.linspace(0.0, sample_rate / 2.0, n_freq)
+    spectrogram_mels = _hz_to_mel_htk(fftfreqs)
+    band_edges = np.linspace(_hz_to_mel_htk(fmin), _hz_to_mel_htk(fmax), n_mels + 2)
+    weights = np.zeros((n_freq, n_mels), dtype=np.float64)
+    for i in range(n_mels):
+        lo, center, hi = band_edges[i: i + 3]
+        lower = (spectrogram_mels - lo) / (center - lo)
+        upper = (hi - spectrogram_mels) / (hi - center)
+        weights[:, i] = np.maximum(0.0, np.minimum(lower, upper))
+    weights[0, :] = 0.0  # DC bin excluded (mel_features.py:138)
+    return weights.astype(np.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int, fmin: float, fmax: float) -> np.ndarray:
     """(n_freq, n_mels) Slaney-normalized triangular mel filterbank.

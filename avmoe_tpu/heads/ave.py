@@ -80,7 +80,7 @@ class AudioVideoInter(nn.Module):
         mid = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, dropout_rate=0.2, deterministic=det, name="mha",
         )(global_feat, memory)
-        return nn.LayerNorm(name="norm1")(
+        return nn.LayerNorm(epsilon=1e-5, name="norm1")(
             global_feat + nn.Dropout(0.1, deterministic=det)(mid))
 
 

@@ -145,7 +145,7 @@ class TPAVIModule(nn.Module):
                           scale_init=nn.initializers.zeros, name="W_z_bn")(wz)
         # residual + channel-last LayerNorm; returns the aligned audio
         # (ref TPAVI.py:144-153: z = LN(W_z(y) + x); audio return = audio_temp)
-        z = nn.LayerNorm(name="norm_layer")(wz + x)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm_layer")(wz + x)
         return z, a
 
 

@@ -25,11 +25,11 @@ class EncoderLayer(nn.Module):
             num_heads=self.nhead, dropout_rate=self.dropout, deterministic=det,
             name="self_attn",
         )(x, x)
-        x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout, deterministic=det)(h))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + nn.Dropout(self.dropout, deterministic=det)(h))
         h = nn.Dense(self.dim_feedforward, name="ff1")(x)
         h = nn.Dropout(self.dropout, deterministic=det)(nn.relu(h))
         h = nn.Dense(self.d_model, name="ff2")(h)
-        x = nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout, deterministic=det)(h))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + nn.Dropout(self.dropout, deterministic=det)(h))
         return x
 
 
@@ -47,11 +47,11 @@ class DecoderLayer(nn.Module):
             num_heads=self.nhead, dropout_rate=self.dropout, deterministic=det,
             name="cross_attn",
         )(tgt, mem)
-        tgt = nn.LayerNorm(name="norm1")(tgt + nn.Dropout(self.dropout, deterministic=det)(h))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + nn.Dropout(self.dropout, deterministic=det)(h))
         h = nn.Dense(self.dim_feedforward, name="ff1")(tgt)
         h = nn.Dropout(self.dropout, deterministic=det)(nn.relu(h))
         h = nn.Dense(self.d_model, name="ff2")(h)
-        tgt = nn.LayerNorm(name="norm2")(tgt + nn.Dropout(self.dropout, deterministic=det)(h))
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + nn.Dropout(self.dropout, deterministic=det)(h))
         return tgt
 
 

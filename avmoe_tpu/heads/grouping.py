@@ -76,10 +76,10 @@ class AttnBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         dp = DropPath(self.drop_path)
         h = ProjAttention(self.dim, self.num_heads, name="attn")(
-            nn.LayerNorm(name="norm1")(x), train=train)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x), train=train)
         x = x + dp(h, train=train)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), train=train)
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), train=train)
         return x + dp(h, train=train)
 
 
@@ -95,8 +95,8 @@ class CrossAttnBlock(nn.Module):
         x = query + ProjAttention(self.dim, self.num_heads, name="attn")(
             query, key, train=train)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), train=train)
-        return nn.LayerNorm(name="norm_post")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), train=train)
+        return nn.LayerNorm(epsilon=1e-5, name="norm_post")(x)
 
 
 class AssignAttention(nn.Module):
@@ -154,12 +154,12 @@ class GroupingBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, group_tokens, *, train: bool = False, return_attn: bool = False):
-        group_tokens = nn.LayerNorm(name="norm_tokens")(group_tokens)
-        x = nn.LayerNorm(name="norm_x")(x)
+        group_tokens = nn.LayerNorm(epsilon=1e-5, name="norm_tokens")(group_tokens)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_x")(x)
         # project S1 group tokens -> S2 output groups (MLP over the token axis)
         g = group_tokens.transpose(0, 2, 1)
         g = Mlp(int(0.5 * self.dim), self.num_output_group, name="mlp_inter")(g)
-        projected = nn.LayerNorm(name="norm_post_tokens")(g.transpose(0, 2, 1))
+        projected = nn.LayerNorm(epsilon=1e-5, name="norm_post_tokens")(g.transpose(0, 2, 1))
         projected = CrossAttnBlock(self.dim, self.num_heads, name="pre_assign_attn")(
             projected, x, train=train)
         new_x, attn_dict = AssignAttention(
@@ -168,9 +168,9 @@ class GroupingBlock(nn.Module):
         new_x = new_x + projected
         reduced = new_x if self.dim == self.out_dim else nn.Dense(
             self.out_dim, use_bias=False, name="reduction_fc")(
-                nn.LayerNorm(name="reduction_norm")(new_x))
+                nn.LayerNorm(epsilon=1e-5, name="reduction_norm")(new_x))
         new_x = reduced + Mlp(int(4.0 * self.dim), self.out_dim, name="mlp_channels")(
-            nn.LayerNorm(name="norm_new_x")(new_x), train=train)
+            nn.LayerNorm(epsilon=1e-5, name="norm_new_x")(new_x), train=train)
         return new_x, attn_dict
 
 
@@ -193,7 +193,13 @@ class ModalityTrans(nn.Module):
     def __call__(self, x, group_token, x_other=None, *, train: bool = False,
                  return_attn: bool = False):
         B = x.shape[0]
-        gt = jnp.broadcast_to(group_token[None], (B,) + group_token.shape)
+        # group_token: (S1, C) learnable class tokens OR (B, S1, C) features
+        # (the cross-modal stage passes grouped visual features as group
+        # tokens - ref: mgn.py:534 av_mcg(x1, x2))
+        if group_token.ndim == 2:
+            gt = jnp.broadcast_to(group_token[None], (B,) + group_token.shape)
+        else:
+            gt = group_token
         cat = jnp.concatenate([x, gt], axis=1)
         for i in range(self.depth):
             cat = AttnBlock(self.dim, self.num_heads, drop_path=self.drop_path,

@@ -55,7 +55,7 @@ class _QueryAttentionFFN(nn.Module):
         src = nn.Dense(self.dim, name="linear2")(
             nn.Dropout(0.1, deterministic=det)(nn.relu(src)))
         att = att + nn.Dropout(0.1, deterministic=det)(src)
-        return nn.LayerNorm(name="norm")(att)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(att)
 
 
 class AVQAFusionModel(nn.Module):

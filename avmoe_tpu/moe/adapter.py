@@ -108,11 +108,11 @@ class CrossModalExpert(nn.Module):
         x = x + gate_av * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
 
         if self.cfg.before_layernorm:
-            x = nn.LayerNorm(name="ln_before")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=True, dtype=self.dtype,
                           name="bottleneck")(x, train=train)
         if self.cfg.post_layernorm:
-            out = nn.LayerNorm(name="ln_post")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="ln_post")(out)
         if self.cfg.use_gate:
             out = self.param("gate", nn.initializers.zeros, (1,)) * out
         return out
@@ -145,11 +145,11 @@ class UnimodalExpert(nn.Module):
             ).astype(self.dtype)
             x = x + gate_av * jnp.einsum("bij,bic->bjc", att, x)
         if self.cfg.before_layernorm:
-            x = nn.LayerNorm(name="ln_before")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
                           name="bottleneck")(x, train=train)
         if self.cfg.post_layernorm:
-            out = nn.LayerNorm(name="ln_post")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="ln_post")(out)
         if self.cfg.use_gate:
             out = self.param("gate", nn.initializers.zeros, (1,)) * out
         return out
