@@ -1,0 +1,134 @@
+"""AVS training driver, S4 / MS3 (ref: avs_{s4,ms3}/train_v2.sh + train_v2.py).
+
+`python -m avmoe_tpu.cli.train_avs --setting s4 [--synthetic|--data_root ...]`
+Evaluates mIoU + F-measure per epoch; saves best by mIoU."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avmoe_tpu.checkpoint.manager import CheckpointManager
+from avmoe_tpu.config import AVSConfig, TrainConfig, replace, tiny_avs_config
+from avmoe_tpu.data.avs import MS3Dataset, S4Dataset, SyntheticAVSDataset
+from avmoe_tpu.data.loader import BatchLoader
+from avmoe_tpu.metrics.avs import eval_fmeasure, mask_iou
+from avmoe_tpu.models.avs import AVSModel, make_avs_loss_fn
+from avmoe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from avmoe_tpu.telemetry.meters import AverageMeter
+from avmoe_tpu.train.freeze import merge_params, param_report
+from avmoe_tpu.train.state import create_train_state
+from avmoe_tpu.train.steps import make_train_step
+
+log = logging.getLogger("avmoe_tpu.avs")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--setting", choices=["s4", "ms3"], default="s4")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--train_batch_size", type=int, default=2)
+    p.add_argument("--accum_itr", type=int, default=4)
+    p.add_argument("--max_epoches", type=int, default=50)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tpavi_stages", type=int, nargs="*", default=[0, 1, 2, 3])
+    p.add_argument("--sa_loss_flag", action="store_true")
+    p.add_argument("--lambda_1", type=float, default=0.0)
+    p.add_argument("--model_save_dir", type=str, default="checkpoints/avs")
+    p.add_argument("--num_workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                        force=True)
+    args = parse_args()
+    cfg = tiny_avs_config() if args.tiny else AVSConfig()
+    cfg = replace(cfg, setting=args.setting,
+                  tpavi_stages=tuple(args.tpavi_stages),
+                  sa_loss_flag=args.sa_loss_flag, lambda_1=args.lambda_1,
+                  sa_loss_stages=tuple(args.tpavi_stages) if args.sa_loss_flag else ())
+    tcfg = TrainConfig(batch_size=args.train_batch_size, accum_steps=args.accum_itr,
+                       epochs=args.max_epoches, lr=args.lr, seed=args.seed)
+
+    if args.synthetic or args.data_root is None:
+        mk = lambda split, n, s: SyntheticAVSDataset(
+            length=n, num_segments=cfg.num_segments, audio_len=cfg.audio_len,
+            img_size=cfg.img_size, mask_size=cfg.mask_size,
+            setting=args.setting, split=split, seed=s)
+        train_ds = mk("train", 4 * tcfg.batch_size, 0)
+        val_ds = mk("val", 2 * tcfg.batch_size, 1)
+    else:
+        ds_cls = S4Dataset if args.setting == "s4" else MS3Dataset
+        train_ds = ds_cls(args.data_root, "train", cfg.img_size, cfg.mask_size)
+        val_ds = ds_cls(args.data_root, "val", cfg.img_size, cfg.mask_size)
+
+    mesh = make_mesh()
+    put = lambda b: shard_batch(
+        {k: v for k, v in b.items() if k not in ("category", "video")}, mesh)
+    train_loader = BatchLoader(train_ds, tcfg.batch_size, shuffle=True,
+                               num_workers=args.num_workers, seed=tcfg.seed,
+                               device_put=put)
+    val_loader = BatchLoader(val_ds, tcfg.batch_size, shuffle=False,
+                             num_workers=args.num_workers, device_put=put)
+
+    model = AVSModel(cfg, dtype=jnp.bfloat16)
+    sample = train_ds[0]
+    variables = jax.jit(lambda r, im, w: model.init(r, im, w, train=True))(
+        {"params": jax.random.PRNGKey(tcfg.seed), "dropout": jax.random.PRNGKey(1),
+         "specaug": jax.random.PRNGKey(2), "router": jax.random.PRNGKey(3)},
+        jnp.asarray(sample["images"][None]), jnp.asarray(sample["wave"][None]),
+    )
+    report = param_report(variables["params"])
+    log.info("params: trainable %.4f%% total %.1fM",
+             report["trainable_pct"], report["total"] / 1e6)
+
+    state = create_train_state(model, variables, tcfg, len(train_loader))
+    state = replicate(state, mesh)
+    train_step = make_train_step(make_avs_loss_fn(model))
+    ckpts = CheckpointManager(args.model_save_dir)
+
+    @jax.jit
+    def predict(variables, images, wave):
+        return model.apply(variables, images, wave, train=False)["mask_logits"]
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    best = -np.inf
+    for epoch in range(1, tcfg.epochs + 1):
+        meter = AverageMeter()
+        for batch in train_loader:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, step_rng)
+            meter.add(loss=float(metrics["loss"]),
+                      iou_loss=float(metrics["iou_loss"]))
+        # eval: all 5 masks per clip
+        variables_eval = {"params": merge_params(state.trainable, state.frozen),
+                          "batch_stats": state.batch_stats}
+        ious, preds, gts = [], [], []
+        for batch in val_loader:
+            logits = predict(variables_eval, batch["images"], batch["wave"])
+            mask = batch["mask"]
+            mask = mask.reshape((-1,) + mask.shape[-2:])
+            ious.append(float(mask_iou(logits, mask)))
+            preds.append(np.asarray(logits))
+            gts.append(np.asarray(mask))
+        miou = float(np.mean(ious))
+        fscore = float(eval_fmeasure(jnp.asarray(np.concatenate(preds)),
+                                     jnp.asarray(np.concatenate(gts))))
+        log.info("epoch %d: loss %.4f miou %.4f F %.4f",
+                 epoch, meter.get("loss"), miou, fscore)
+        if miou >= best:
+            best = miou
+            ckpts.save_if_best(int(state.step), state, miou)
+    log.info("best miou: %.4f", best)
+
+
+if __name__ == "__main__":
+    main()
