@@ -144,6 +144,25 @@ class UnimodalExpert(nn.Module):
                 axis=-1,
             ).astype(self.dtype)
             x = x + gate_av * jnp.einsum("bij,bic->bjc", att, x)
+        elif self.cfg.self_attention == "token":
+            # MS3 "v2" latent-token self-attention (avs_ms3/model/
+            # PVT_AVSModel_v2.py:397-411): same two-hop latent attention as the
+            # cross-modal expert, but attending to x itself, gated by gate_self
+            B, N, C = x.shape
+            T = self.cfg.num_tokens
+            tokens = self.param("latent_tokens", nn.initializers.uniform(1.0), (T, C))
+            gate_self = self.param("gate_self", nn.initializers.zeros, (1,))
+            rep = jnp.broadcast_to(tokens[None], (B, T, C)).astype(self.dtype)
+            att_x2t = jax.nn.softmax(
+                jnp.einsum("btc,bnc->btn", rep, x.astype(self.dtype),
+                           preferred_element_type=jnp.float32), axis=-1
+            ).astype(self.dtype)
+            rep = rep + jnp.einsum("btn,bnc->btc", att_x2t, x.astype(self.dtype))
+            att_t2x = jax.nn.softmax(
+                jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
+                           preferred_element_type=jnp.float32), axis=-1
+            ).astype(self.dtype)
+            x = x + gate_self * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
         if self.cfg.before_layernorm:
             x = nn.LayerNorm(epsilon=1e-5, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
@@ -197,15 +216,26 @@ class MoEAdapter(nn.Module):
         assert N == self.num_tokens and C == self.dim, (x.shape, self.num_tokens, self.dim)
 
         # --- project other modality into this modality's shape --------------
+        # Reference order: token-axis conv (M->N tokens, + per-token bias) THEN
+        # channel fc (C_other->C, + bias) (net_trans_v3.py:469-471). By
+        # associativity we apply the (usually narrowing) channel projection
+        # FIRST and fold the token bias through the fc column sums - exactly
+        # the same function, 1.4-2.8x fewer FLOPs on the big token matmul.
         token_kernel = self.param(
             "token_proj_kernel", nn.initializers.lecun_normal(),
             (self.num_tokens, self.other_num_tokens),
         )
         token_bias = self.param("token_proj_bias", nn.initializers.zeros, (self.num_tokens,))
-        other_tok = jnp.einsum(
-            "bmc,nm->bnc", other.astype(self.dtype), token_kernel.astype(self.dtype)
-        ) + token_bias[None, :, None]
-        other_proj = nn.Dense(self.dim, dtype=self.dtype, name="fc")(other_tok)  # (B, N, C)
+        fc_kernel = self.param(
+            "fc_kernel", nn.initializers.lecun_normal(), (self.other_dim, self.dim))
+        fc_bias = self.param("fc_bias", nn.initializers.zeros, (self.dim,))
+        other_c = jnp.einsum(
+            "bmo,oc->bmc", other.astype(self.dtype), fc_kernel.astype(self.dtype))
+        other_proj = jnp.einsum(
+            "bmc,nm->bnc", other_c, token_kernel.astype(self.dtype))
+        other_proj = other_proj + (
+            token_bias[:, None] * fc_kernel.sum(axis=0)[None, :] + fc_bias[None, :]
+        )[None]
 
         # --- router ---------------------------------------------------------
         pooled = jnp.concatenate([x.mean(axis=1), other_proj.mean(axis=1)], axis=-1)

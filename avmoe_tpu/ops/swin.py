@@ -216,6 +216,16 @@ class PatchMergingV2(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def use_pallas_attention() -> bool:
+    """Fused Pallas window attention toggle (env AVMOE_PALLAS_ATTN=1).
+
+    Evaluated at trace time; defaults off so CPU tests and non-TPU backends
+    run the XLA path."""
+    import os
+
+    return os.environ.get("AVMOE_PALLAS_ATTN", "0") == "1"
+
+
 class WindowAttentionV1(nn.Module):
     """Scaled-dot-product window attention with a learned relative-position
     bias table (ref: htsat.py:50-128)."""
@@ -238,8 +248,6 @@ class WindowAttentionV1(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, D)
 
         scale = D ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
-
         wh, ww = self.window
         table = self.param(
             "relative_position_bias_table",
@@ -248,16 +256,32 @@ class WindowAttentionV1(nn.Module):
         )
         idx = jnp.asarray(relative_position_index(wh, ww))
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
-        attn = attn + bias[None]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
-            attn = attn.reshape(B_, H, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        if use_pallas_attention() and (self.attn_drop == 0.0 or not train):
+            from avmoe_tpu.ops.pallas.window_attn import fused_window_attention
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+            if mask is not None:
+                nW = mask.shape[0]
+                full_bias = bias[None] + mask[:, None]  # (nW, H, N, N)
+            else:
+                nW = 1
+                full_bias = bias[None]
+            out = fused_window_attention(
+                (q * scale).astype(self.dtype), k, v,
+                full_bias.astype(jnp.float32), num_windows=nW)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
+                attn = attn.reshape(B_, H, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=jnp.float32)
+
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
@@ -304,7 +328,6 @@ class WindowAttentionV2(nn.Module):
             (H, 1, 1),
         )
         logit_scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
-        attn = attn * logit_scale[None]
 
         # continuous position bias
         wh, ww = self.window
@@ -316,16 +339,35 @@ class WindowAttentionV2(nn.Module):
         idx = jnp.asarray(relative_position_index(wh, ww))
         bias = cpb[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
         bias = 16.0 * jax.nn.sigmoid(bias)
-        attn = attn + bias[None]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
-            attn = attn.reshape(B_, H, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        if use_pallas_attention() and (self.attn_drop == 0.0 or not train):
+            from avmoe_tpu.ops.pallas.window_attn import fused_window_attention
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+            # fold the per-head logit scale into q (q is row-normalized)
+            q_scaled = (q * logit_scale[None]).astype(self.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                full_bias = bias[None] + mask[:, None]
+            else:
+                nW = 1
+                full_bias = bias[None]
+            out = fused_window_attention(
+                q_scaled, k.astype(self.dtype), v.astype(self.dtype),
+                full_bias.astype(jnp.float32), num_windows=nW)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn * logit_scale[None]
+            attn = attn + bias[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
+                attn = attn.reshape(B_, H, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=jnp.float32)
+
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
