@@ -88,7 +88,7 @@ class HTSATEncoder(nn.Module):
             )
             for i in range(n_stages - 1)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-5)
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         if c.ape:
             self.absolute_pos_embed = self.param(
                 "absolute_pos_embed",

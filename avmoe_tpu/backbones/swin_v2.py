@@ -75,7 +75,7 @@ class SwinV2Encoder(nn.Module):
             )
             for i in range(len(c.depths) - 1)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-5)
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
     def embed(self, images: jax.Array) -> jax.Array:
         """(B, H, W, 3) images -> (B, N0, embed_dim) tokens."""

@@ -67,12 +67,12 @@ class _Bottleneck(nn.Module):
         hidden = max(self.dim // self.cfg.downsample, self.cfg.num_conv_group)
         z = GroupedDense(hidden, self.cfg.num_conv_group, dtype=self.dtype, name="down")(x)
         if self.cfg.use_bn:
-            z = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(z)
+            z = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(z)
         if self.use_activation:
             z = nn.relu(z)
         out = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype, name="up")(z)
         if self.cfg.use_bn:
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(out)
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
         return out
 
 
@@ -105,16 +105,16 @@ class CrossModalExpert(nn.Module):
                        preferred_element_type=jnp.float32),
             axis=-1,
         ).astype(self.dtype)
-        x = x + gate_av * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
+        x = x + gate_av.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
 
         if self.cfg.before_layernorm:
-            x = nn.LayerNorm(epsilon=1e-5, name="ln_before")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=True, dtype=self.dtype,
                           name="bottleneck")(x, train=train)
         if self.cfg.post_layernorm:
-            out = nn.LayerNorm(epsilon=1e-5, name="ln_post")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
         if self.cfg.use_gate:
-            out = self.param("gate", nn.initializers.zeros, (1,)) * out
+            out = self.param("gate", nn.initializers.zeros, (1,)).astype(self.dtype) * out
         return out
 
 
@@ -143,7 +143,7 @@ class UnimodalExpert(nn.Module):
                            preferred_element_type=jnp.float32),
                 axis=-1,
             ).astype(self.dtype)
-            x = x + gate_av * jnp.einsum("bij,bic->bjc", att, x)
+            x = x + gate_av.astype(self.dtype) * jnp.einsum("bij,bic->bjc", att, x)
         elif self.cfg.self_attention == "token":
             # MS3 "v2" latent-token self-attention (avs_ms3/model/
             # PVT_AVSModel_v2.py:397-411): same two-hop latent attention as the
@@ -162,15 +162,15 @@ class UnimodalExpert(nn.Module):
                 jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
                            preferred_element_type=jnp.float32), axis=-1
             ).astype(self.dtype)
-            x = x + gate_self * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
+            x = x + gate_self.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
         if self.cfg.before_layernorm:
-            x = nn.LayerNorm(epsilon=1e-5, name="ln_before")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
                           name="bottleneck")(x, train=train)
         if self.cfg.post_layernorm:
-            out = nn.LayerNorm(epsilon=1e-5, name="ln_post")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
         if self.cfg.use_gate:
-            out = self.param("gate", nn.initializers.zeros, (1,)) * out
+            out = self.param("gate", nn.initializers.zeros, (1,)).astype(self.dtype) * out
         return out
 
 

@@ -165,7 +165,7 @@ class PatchEmbed(nn.Module):
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         if self.use_norm:
-            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -187,7 +187,7 @@ class PatchMergingV1(nn.Module):
         # x0=(0,0) x1=(1,0) x2=(0,1) x3=(1,1) over (row, col) offsets
         x = x.transpose(0, 1, 3, 4, 2, 5)  # B, H/2, W/2, colpar, rowpar, C
         x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
         return x
 
@@ -207,7 +207,7 @@ class PatchMergingV2(nn.Module):
         x = x.transpose(0, 1, 3, 4, 2, 5)
         x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -426,8 +426,8 @@ class SwinBlock(nn.Module):
                 pretrained_window=(self.pretrained_window, self.pretrained_window),
                 attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             )
-        self.norm1 = nn.LayerNorm(epsilon=1e-5)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.mlp = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
             dropout=self.drop, dtype=self.dtype,
