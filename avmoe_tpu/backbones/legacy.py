@@ -103,6 +103,39 @@ class AVENet(nn.Module):
         return nn.Dense(self.embed_dim, name="proj")(feats)
 
 
+class SimpleViT(nn.Module):
+    """Minimal non-hierarchical ViT encoder (ref: AVMOE/AVE/nets/my_vit.py:61 -
+    a legacy/unused plain-ViT variant kept for surface parity)."""
+
+    embed_dim: int = 192
+    depth: int = 4
+    num_heads: int = 3
+    patch: int = 16
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):  # (B, H, W, 3)
+        from avmoe_tpu.ops.swin import Mlp
+
+        B = x.shape[0]
+        x = nn.Conv(self.embed_dim, (self.patch, self.patch),
+                    strides=self.patch, name="patch_embed")(x)
+        x = x.reshape(B, -1, self.embed_dim)
+        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
+                         (1, x.shape[1], self.embed_dim))
+        x = x + pos
+        for i in range(self.depth):
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, deterministic=not train,
+                name=f"attn_{i}")(h, h)
+            x = x + h
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
+            x = x + Mlp(int(self.embed_dim * self.mlp_ratio), self.embed_dim,
+                        name=f"mlp_{i}")(h, train=train)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+
 class PHMLinear(nn.Module):
     """Parameterized hypercomplex linear: W = sum_i A_i (x) S_i
     (Kronecker products of small learned factors; ref: my_layers.py:38)."""

@@ -30,6 +30,8 @@ from avmoe_tpu.telemetry.experts import ExpertUsageTracker
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["train", "test"], default="train",
+                   help="test = restore checkpoint and evaluate (ref test.sh)")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--synthetic", action="store_true", help="random AVE-shaped data")
     p.add_argument("--tiny", action="store_true", help="tiny model (CI smoke)")
@@ -102,6 +104,19 @@ def main():
     eval_step = make_eval_step(make_ave_eval_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)
     tracker = ExpertUsageTracker(cfg.moe.num_experts)
+
+    if args.mode == "test":
+        # restore best checkpoint and evaluate (ref: main_trans_v3.py:349-354)
+        state = ckpts.restore(state)
+        accs = []
+        for batch in val_loader:
+            metrics = eval_step(state, batch)
+            tracker.update(metrics.pop("telemetry", {}))
+            accs.append(float(metrics["accuracy"]))
+        tracker.save(args.model_save_dir)
+        logging.info("test accuracy: %.2f over %d batches",
+                     float(np.mean(accs)), len(accs))
+        return
 
     state, best = train_and_evaluate(
         state=state, train_step=train_step, eval_step=eval_step,

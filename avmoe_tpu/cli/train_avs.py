@@ -29,6 +29,10 @@ log = logging.getLogger("avmoe_tpu.avs")
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["train", "test"], default="train",
+                   help="test = restore ckpt, eval, save predicted masks "
+                        "(ref test_v2.py incl. mask saving)")
+    p.add_argument("--save_pred_mask", action="store_true")
     p.add_argument("--setting", choices=["s4", "ms3"], default="s4")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -98,6 +102,28 @@ def main():
     @jax.jit
     def predict(variables, images, wave):
         return model.apply(variables, images, wave, train=False)["mask_logits"]
+
+    if args.mode == "test":
+        from avmoe_tpu.metrics.avs import save_mask
+
+        state = ckpts.restore(state)
+        variables_eval = {"params": merge_params(state.trainable, state.frozen),
+                          "batch_stats": state.batch_stats}
+        ious, preds, gts = [], [], []
+        for bi, batch in enumerate(val_loader):
+            logits = predict(variables_eval, batch["images"], batch["wave"])
+            mask = batch["mask"].reshape((-1,) + batch["mask"].shape[-2:])
+            ious.append(float(mask_iou(logits, mask)))
+            preds.append(np.asarray(logits))
+            gts.append(np.asarray(mask))
+            if args.save_pred_mask:
+                names = [f"batch{bi}_{j}" for j in range(logits.shape[0])]
+                save_mask(np.asarray(logits),
+                          f"{args.model_save_dir}/pred_masks", names)
+        fscore = float(eval_fmeasure(jnp.asarray(np.concatenate(preds)),
+                                     jnp.asarray(np.concatenate(gts))))
+        log.info("test miou %.4f F %.4f", float(np.mean(ious)), fscore)
+        return
 
     rng = jax.random.PRNGKey(tcfg.seed)
     best = -np.inf

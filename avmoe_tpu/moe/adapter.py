@@ -217,10 +217,11 @@ class MoEAdapter(nn.Module):
 
         # --- project other modality into this modality's shape --------------
         # Reference order: token-axis conv (M->N tokens, + per-token bias) THEN
-        # channel fc (C_other->C, + bias) (net_trans_v3.py:469-471). By
-        # associativity we apply the (usually narrowing) channel projection
-        # FIRST and fold the token bias through the fc column sums - exactly
-        # the same function, 1.4-2.8x fewer FLOPs on the big token matmul.
+        # channel fc (C_other->C, + bias) (net_trans_v3.py:469-471). The two
+        # linear maps commute, so we pick the cheaper contraction order per
+        # adapter (narrow the channel dim first iff dim < other_dim) and fold
+        # the token bias through the fc column sums - exactly the same
+        # function, up to ~2.8x fewer FLOPs on the big token matmul.
         token_kernel = self.param(
             "token_proj_kernel", nn.initializers.lecun_normal(),
             (self.num_tokens, self.other_num_tokens),
@@ -229,13 +230,19 @@ class MoEAdapter(nn.Module):
         fc_kernel = self.param(
             "fc_kernel", nn.initializers.lecun_normal(), (self.other_dim, self.dim))
         fc_bias = self.param("fc_bias", nn.initializers.zeros, (self.dim,))
-        other_c = jnp.einsum(
-            "bmo,oc->bmc", other.astype(self.dtype), fc_kernel.astype(self.dtype))
-        other_proj = jnp.einsum(
-            "bmc,nm->bnc", other_c, token_kernel.astype(self.dtype))
+        if self.dim < self.other_dim:
+            other_c = jnp.einsum(
+                "bmo,oc->bmc", other.astype(self.dtype), fc_kernel.astype(self.dtype))
+            other_proj = jnp.einsum(
+                "bmc,nm->bnc", other_c, token_kernel.astype(self.dtype))
+        else:
+            other_tok = jnp.einsum(
+                "bmo,nm->bno", other.astype(self.dtype), token_kernel.astype(self.dtype))
+            other_proj = jnp.einsum(
+                "bno,oc->bnc", other_tok, fc_kernel.astype(self.dtype))
         other_proj = other_proj + (
             token_bias[:, None] * fc_kernel.sum(axis=0)[None, :] + fc_bias[None, :]
-        )[None]
+        )[None].astype(self.dtype)
 
         # --- router ---------------------------------------------------------
         pooled = jnp.concatenate([x.mean(axis=1), other_proj.mean(axis=1)], axis=-1)

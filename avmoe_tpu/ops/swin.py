@@ -279,8 +279,9 @@ class WindowAttentionV1(nn.Module):
                 attn = attn.reshape(B_, H, N, N)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                             preferred_element_type=jnp.float32)
+            # MXU accumulates fp32 internally; emit bf16 directly to halve
+            # the PV-output HBM traffic
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -365,8 +366,9 @@ class WindowAttentionV2(nn.Module):
                 attn = attn.reshape(B_, H, N, N)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                             preferred_element_type=jnp.float32)
+            # MXU accumulates fp32 internally; emit bf16 directly to halve
+            # the PV-output HBM traffic
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)

@@ -23,6 +23,27 @@ def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
+def archive_sources(dst_dir: str, root: Optional[str] = None) -> int:
+    """Snapshot the framework's .py sources next to an experiment's outputs
+    (ref: avs_s4/train_v2.py:102-114 script self-archival). Returns file count."""
+    import shutil
+
+    root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    count = 0
+    for dirpath, _, files in os.walk(root):
+        if "__pycache__" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                src = os.path.join(dirpath, f)
+                rel = os.path.relpath(src, root)
+                out = os.path.join(dst_dir, "sources", rel)
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                shutil.copyfile(src, out)
+                count += 1
+    return count
+
+
 @contextlib.contextmanager
 def profiler_trace(logdir: str):
     """jax.profiler trace scope (view with tensorboard / xprof)."""
