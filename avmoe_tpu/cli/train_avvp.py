@@ -31,6 +31,7 @@ log = logging.getLogger("avmoe_tpu.avvp")
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["train", "test"], default="train")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--label_train", type=str, default="data/AVVP/AVVP_train.csv")
     p.add_argument("--label_val", type=str, default="data/AVVP/AVVP_val_pd.csv")
@@ -128,6 +129,12 @@ def main():
     state = replicate(state, mesh)
     train_step = make_train_step(make_avvp_loss_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)
+
+    if args.mode == "test":
+        state = ckpts.restore(state)
+        summary = evaluate(model, state, val_loader, gt_audio, gt_visual)
+        log.info("test F1 suite: %s", {k: round(v, 2) for k, v in summary.items()})
+        return
 
     rng = jax.random.PRNGKey(tcfg.seed)
     best = -np.inf

@@ -216,6 +216,15 @@ class PatchMergingV2(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def bf16_attention_logits() -> bool:
+    """Keep attention logits in bf16 (env AVMOE_BF16_LOGITS=1): halves the
+    N^2 HBM traffic; softmax still max-subtracted so bf16 range is safe.
+    Off by default for strict fp32-softmax parity."""
+    import os
+
+    return os.environ.get("AVMOE_BF16_LOGITS", "0") == "1"
+
+
 def use_pallas_attention() -> bool:
     """Fused Pallas window attention toggle (env AVMOE_PALLAS_ATTN=1).
 
@@ -270,9 +279,10 @@ class WindowAttentionV1(nn.Module):
                 (q * scale).astype(self.dtype), k, v,
                 full_bias.astype(jnp.float32), num_windows=nW)
         else:
+            pet = self.dtype if bf16_attention_logits() else jnp.float32
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                              preferred_element_type=jnp.float32)
-            attn = attn + bias[None]
+                              preferred_element_type=pet)
+            attn = attn + bias[None].astype(pet)
             if mask is not None:
                 nW = mask.shape[0]
                 attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
@@ -356,10 +366,11 @@ class WindowAttentionV2(nn.Module):
                 q_scaled, k.astype(self.dtype), v.astype(self.dtype),
                 full_bias.astype(jnp.float32), num_windows=nW)
         else:
+            pet = self.dtype if bf16_attention_logits() else jnp.float32
             attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                              preferred_element_type=jnp.float32)
-            attn = attn * logit_scale[None]
-            attn = attn + bias[None]
+                              preferred_element_type=pet)
+            attn = attn * logit_scale[None].astype(pet)
+            attn = attn + bias[None].astype(pet)
             if mask is not None:
                 nW = mask.shape[0]
                 attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]

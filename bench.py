@@ -12,7 +12,12 @@ north-star target is 5.0x.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# fast inference mode: bf16 attention logits (max-subtracted softmax keeps
+# bf16 range safe; training default stays fp32 for strict parity)
+os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
 
 import jax
 import jax.numpy as jnp
