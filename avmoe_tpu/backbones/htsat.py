@@ -96,7 +96,10 @@ class HTSATEncoder(nn.Module):
                 (1, c.patches_resolution[0] * c.patches_resolution[1], c.embed_dim),
             )
         # TSCAM head (ref: htsat.py:536-543): grouped-freq conv over the final map
-        sf = c.spec_size // (2 ** (len(c.depths) - 1)) // c.patch_stride[0] // c.freq_ratio
+        # (kernel spans the remaining freq bins; clamped for miniature configs
+        # whose final grid is smaller than the freq fold ratio)
+        grid_f = c.spec_size // (2 ** (len(c.depths) - 1)) // c.patch_stride[0]
+        sf = max(grid_f // min(c.freq_ratio, grid_f), 1)
         self.tscam_conv = nn.Conv(
             c.num_classes, kernel_size=(sf, 3), padding=((0, 0), (1, 1)),
             dtype=self.dtype, name="tscam_conv",
@@ -172,9 +175,10 @@ class HTSATEncoder(nn.Module):
         # tokens -> (B, SF, ST, C) grid, then undo the freq fold: rows were
         # r*F' + f, so regroup SF into (freq_ratio, F'/ratio) and splice time.
         grid = x.reshape(B, sf, st, C)
-        cfb = sf // c.freq_ratio  # true freq bins at this scale
-        grid = grid.reshape(B, c.freq_ratio, cfb, st, C)
-        grid = grid.transpose(0, 2, 1, 3, 4).reshape(B, cfb, c.freq_ratio * st, C)
+        ratio_eff = min(c.freq_ratio, sf)  # miniature configs: fold what exists
+        cfb = sf // ratio_eff  # true freq bins at this scale
+        grid = grid.reshape(B, ratio_eff, cfb, st, C)
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(B, cfb, ratio_eff * st, C)
 
         latent = grid.reshape(B, -1, C).mean(axis=1)
 
@@ -193,3 +197,63 @@ class HTSATEncoder(nn.Module):
             "framewise_output": framewise,
             "latent_output": latent,
         }
+
+    # -- long / short audio inference modes ---------------------------------
+
+    def _features_from_spec(self, spec: jax.Array, *, train: bool = False):
+        """(B, T, F) log-mel (already bn0-normalized) -> output dict."""
+        c = self.cfg
+        img = fe.reshape_wav2img(spec, c.spec_size, c.freq_ratio).astype(self.dtype)
+        x = self.patch_embed(img)
+        if c.ape:
+            x = x + self.absolute_pos_embed
+
+        # replicate the tail of __call__ on embedded tokens
+        x = self.forward_features(x, train=train)
+        x = self.norm(x)
+        B, N, C = x.shape
+        down = 2 ** (len(c.depths) - 1)
+        sf = c.spec_size // down // c.patch_stride[0]
+        st = c.spec_size // down // c.patch_stride[1]
+        grid = x.reshape(B, sf, st, C)
+        ratio_eff = min(c.freq_ratio, sf)
+        cfb = sf // ratio_eff
+        grid = grid.reshape(B, ratio_eff, cfb, st, C)
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(B, cfb, ratio_eff * st, C)
+        logits_map = self.tscam_conv(grid).reshape(B, -1, c.num_classes)
+        return {
+            "clipwise_output": jax.nn.sigmoid(logits_map.mean(axis=1)),
+            "framewise_output": jax.nn.sigmoid(logits_map),
+        }
+
+    def forward_long_audio(self, wave: jax.Array) -> dict:
+        """Crop-and-average inference for audio longer than
+        freq_ratio * spec_size frames (ref: htsat.py:797-821): overlapping
+        crops of (T-1)//2 frames at (T-1)//4 hops, outputs averaged."""
+        c = self.cfg
+        spec = fe.log_mel_spectrogram(wave.astype(jnp.float32), c.frontend)
+        spec = self.bn0(spec, use_running_average=True)
+        T = spec.shape[1]
+        max_t = c.freq_ratio * c.spec_size
+        if T <= max_t:
+            return self._features_from_spec(spec)
+        crop = (T - 1) // 2
+        overlap = (T - 1) // 4
+        outs = []
+        for pos in range(0, T - crop - 1, overlap):
+            outs.append(self._features_from_spec(spec[:, pos: pos + crop]))
+        return {
+            k: sum(o[k] for o in outs) / len(outs) for k in outs[0]
+        }
+
+    def forward_repeat_mode(self, wave: jax.Array) -> dict:
+        """Short-audio inference: tile the spectrogram in time up to the model
+        window before folding (ref: htsat.py:765-772 infer_mode)."""
+        c = self.cfg
+        spec = fe.log_mel_spectrogram(wave.astype(jnp.float32), c.frontend)
+        spec = self.bn0(spec, use_running_average=True)
+        T = spec.shape[1]
+        target_t = c.spec_size * c.freq_ratio
+        reps = max(target_t // T, 1)
+        spec = jnp.tile(spec, (1, reps, 1))[:, :target_t]
+        return self._features_from_spec(spec)

@@ -28,7 +28,7 @@ from avmoe_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 NOMINAL_A100_CLIPS_PER_SEC = 50.0
-BATCH_CLIPS = 4
+BATCH_CLIPS = int(os.environ.get("BENCH_BATCH_CLIPS", "4"))
 WARMUP = 3
 ITERS = 20
 
