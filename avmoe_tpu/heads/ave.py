@@ -66,6 +66,25 @@ class TemporalAttention(nn.Module):
         return video_q, audio_q, av_gate
 
 
+class WeaklyLocalizationModule(nn.Module):
+    """Weakly-supervised localization head (ref: net_trans_v3.py:138-160):
+    per-segment event scores gate clip-level class logits, max-pooled over
+    time into softmax event scores."""
+
+    num_classes: int = 28
+
+    @nn.compact
+    def __call__(self, fused: jax.Array):
+        """fused (B, T, C) -> (is_event (B, T), raw_logits (B, cls+1),
+        event_scores (B, cls+1))."""
+        is_event = nn.Dense(1, name="classifier")(fused)[..., 0]     # (B, T)
+        pooled = fused.max(axis=1)
+        raw_logits = nn.Dense(self.num_classes + 1, name="event_classifier")(pooled)
+        fused_logits = jax.nn.sigmoid(is_event)[..., None] * raw_logits[:, None]
+        logits = fused_logits.max(axis=1)
+        return is_event, raw_logits, jax.nn.softmax(logits, axis=-1)
+
+
 class AudioVideoInter(nn.Module):
     """Optional CMBS interaction block (ref: net_trans_v3.py:163-177)."""
 
