@@ -167,6 +167,10 @@ class InjectionConfig:
     audio_adapter_p1: bool = True   # around the attention sub-block
     audio_adapter_p2: bool = True   # around the MLP sub-block
     num_skip: int = 2               # stages with (idx+1) % num_skip == 0 run w/o adapters
+    # sequence parallelism: shard the token axis of both streams over this
+    # mesh axis (windows are independent, so XLA partitions window attention
+    # with halo exchanges only at shifted-window rolls). None = off.
+    token_shard_axis: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

@@ -183,8 +183,22 @@ class LockstepEncoder(nn.Module):
         multi-scale capture (ref: avs_s4/model/PVT_AVSModel_v2.py:873-877)."""
         inj = self.injection_cfg
         stage_tokens: List[jax.Array] = []
-        f_v = self.swin.embed(images)
-        f_a = self.htsat.embed(wave, train=train, mixup_lambda=mixup_lambda)
+
+        def shard_tokens(x):
+            """Sequence-parallel constraint: token axis over the configured
+            mesh axis (no-op when unset or no mesh is active)."""
+            if inj.token_shard_axis is None:
+                return x
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                return jax.lax.with_sharding_constraint(
+                    x, P(None, inj.token_shard_axis, None))
+            except Exception:
+                return x
+        f_v = shard_tokens(self.swin.embed(images))
+        f_a = shard_tokens(
+            self.htsat.embed(wave, train=train, mixup_lambda=mixup_lambda))
 
         tele: Dict[str, List] = {"audio_p1": [], "audio_p2": [], "video_p1": [], "video_p2": []}
         lb_losses: List[jax.Array] = []
@@ -239,9 +253,9 @@ class LockstepEncoder(nn.Module):
                 is_last = stage == len(self.swin_cfg.depths) - 1
                 stage_tokens.append(self.swin.norm(f_v) if is_last else f_v)
             if stage < len(self.swin.downsamples):
-                f_v = self.swin.downsamples[stage](f_v)
+                f_v = shard_tokens(self.swin.downsamples[stage](f_v))
             if stage < len(self.htsat.downsamples):
-                f_a = self.htsat.downsamples[stage](f_a)
+                f_a = shard_tokens(self.htsat.downsamples[stage](f_a))
 
         f_v = self.swin.norm(f_v)
 
