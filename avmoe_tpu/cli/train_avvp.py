@@ -49,7 +49,7 @@ def parse_args():
     return p.parse_args()
 
 
-def evaluate(model, state, loader, gt_audio, gt_visual) -> dict:
+def evaluate(model, state, loader, gt_audio, gt_visual, num_segments=10) -> dict:
     """Run the F1 suite over a loader; gt_* map clip_index -> (25,10) grids."""
     variables = {"params": merge_params(state.trainable, state.frozen),
                  "batch_stats": state.batch_stats}
@@ -64,8 +64,8 @@ def evaluate(model, state, loader, gt_audio, gt_visual) -> dict:
         gp, ap, vp = fwd(variables, batch["wave"], batch["images"], batch["video_st"])
         gp, ap, vp = np.asarray(gp), np.asarray(ap), np.asarray(vp)
         for i, clip in enumerate(np.asarray(batch["clip_index"])):
-            ga = gt_audio.get(int(clip), np.zeros((25, 10), np.int64))
-            gv = gt_visual.get(int(clip), np.zeros((25, 10), np.int64))
+            ga = gt_audio.get(int(clip), np.zeros((25, num_segments), np.int64))
+            gv = gt_visual.get(int(clip), np.zeros((25, num_segments), np.int64))
             evaluator.add_clip(gp[i], ap[i], vp[i], ga, gv)
     return evaluator.summary()
 
@@ -89,7 +89,7 @@ def main():
         gt_audio, gt_visual = {}, {}
         for i in range(len(val_ds)):
             lab = val_ds[i]["labels"]
-            grid = np.repeat(lab[:, None].astype(np.int64), 10, axis=1)
+            grid = np.repeat(lab[:, None].astype(np.int64), cfg.num_segments, axis=1)
             gt_audio[i] = grid
             gt_visual[i] = grid
     else:
@@ -132,7 +132,7 @@ def main():
 
     if args.mode == "test":
         state = ckpts.restore(state)
-        summary = evaluate(model, state, val_loader, gt_audio, gt_visual)
+        summary = evaluate(model, state, val_loader, gt_audio, gt_visual, cfg.num_segments)
         log.info("test F1 suite: %s", {k: round(v, 2) for k, v in summary.items()})
         return
 
@@ -144,7 +144,7 @@ def main():
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             meter.add(loss=float(metrics["loss"]))
-        summary = evaluate(model, state, val_loader, gt_audio, gt_visual)
+        summary = evaluate(model, state, val_loader, gt_audio, gt_visual, cfg.num_segments)
         val = summary["seg_type_avg"]
         log.info("epoch %d: loss %.4f seg Type@Avg %.2f Event@Avg %.2f "
                  "event Type@Avg %.2f", epoch, meter.get("loss"), val,

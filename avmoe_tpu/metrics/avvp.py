@@ -67,7 +67,7 @@ def extract_events(seq: np.ndarray) -> List[Tuple[int, int]]:
 
 
 def _match_events(pred: List[Tuple[int, int]], gt: List[Tuple[int, int]],
-                  T: int = NUM_SEGMENTS) -> Tuple[int, int, int]:
+                  T: int) -> Tuple[int, int, int]:
     """TP/FP/FN with IoU >= 0.5 interval matching (each pred may match any gt)."""
 
     def vec(ev):
@@ -99,8 +99,9 @@ def event_level(
     counters = {}
     for key, so, gt in (("a", so_a, gt_a), ("v", so_v, gt_v), ("av", so_av, gt_av)):
         tps, fps, fns = np.zeros(n), np.zeros(n), np.zeros(n)
+        T = so.shape[1]
         for c in range(n):
-            t, f, m = _match_events(extract_events(so[c]), extract_events(gt[c]))
+            t, f, m = _match_events(extract_events(so[c]), extract_events(gt[c]), T)
             tps[c], fps[c], fns[c] = t, f, m
         counters[key] = (tps, fps, fns)
     tp_a, fp_a, fn_a = counters["a"]
