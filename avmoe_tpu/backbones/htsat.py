@@ -58,8 +58,15 @@ class HTSATEncoder(nn.Module):
             use_norm=c.patch_norm,
             dtype=self.dtype,
         )
+        block_cls = SwinBlock
+        if c.remat:
+            # rematerialize both sub-block seams and the full call; `train`
+            # (arg index 2, counting self) is static
+            block_cls = nn.remat(
+                SwinBlock, static_argnums=(2,),
+                methods=["__call__", "attn_residual", "mlp_residual"])
         self.blocks = [
-            SwinBlock(
+            block_cls(
                 dim=s.dim,
                 input_resolution=s.resolution,
                 num_heads=s.num_heads,
@@ -147,7 +154,7 @@ class HTSATEncoder(nn.Module):
         """Run all stages on embedded tokens -> (B, N_last, num_features)."""
         for stage, (lo, hi) in enumerate(self.stage_ranges):
             for i in range(lo, hi):
-                x = self.blocks[i](x, train=train)
+                x = self.blocks[i](x, train)
             if stage < len(self.downsamples):
                 x = self.downsamples[stage](x)
         return x

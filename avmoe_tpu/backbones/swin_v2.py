@@ -48,8 +48,15 @@ class SwinV2Encoder(nn.Module):
             use_norm=True,
             dtype=self.dtype,
         )
+        block_cls = SwinBlock
+        if c.remat:
+            # rematerialize both sub-block seams and the full call; `train`
+            # (arg index 2, counting self) is static
+            block_cls = nn.remat(
+                SwinBlock, static_argnums=(2,),
+                methods=["__call__", "attn_residual", "mlp_residual"])
         self.blocks = [
-            SwinBlock(
+            block_cls(
                 dim=s.dim,
                 input_resolution=s.resolution,
                 num_heads=s.num_heads,
@@ -84,7 +91,7 @@ class SwinV2Encoder(nn.Module):
     def forward_features(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         for stage, (lo, hi) in enumerate(self.stage_ranges):
             for i in range(lo, hi):
-                x = self.blocks[i](x, train=train)
+                x = self.blocks[i](x, train)
             if stage < len(self.downsamples):
                 x = self.downsamples[stage](x)
         return self.norm(x)

@@ -67,6 +67,7 @@ class HTSATConfig:
     drop_path_rate: float = 0.1
     ape: bool = False
     patch_norm: bool = True
+    remat: bool = False    # rematerialize blocks (memory for compute)
     frontend: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
 
     @property
@@ -99,6 +100,7 @@ class SwinV2Config:
     window_size: int = 12
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
+    remat: bool = False    # rematerialize blocks (memory for compute)
     pretrained_window_sizes: Tuple[int, ...] = (12, 12, 12, 6)
 
     @property

@@ -219,11 +219,11 @@ class LockstepEncoder(nn.Module):
                 blk_v = self.swin.blocks[vlo + v_off]
                 blk_a = None if a_off is None else self.htsat.blocks[alo + a_off]
                 if blk_a is None:
-                    f_v = blk_v(f_v, train=train)
+                    f_v = blk_v(f_v, train)
                 elif skipped:
-                    f_v = f_v + blk_v.attn_residual(f_v, train=train)
-                    f_a = blk_a(f_a, train=train)
-                    f_v = f_v + blk_v.mlp_residual(f_v, train=train)
+                    f_v = f_v + blk_v.attn_residual(f_v, train)
+                    f_a = blk_a(f_a, train)
+                    f_v = f_v + blk_v.mlp_residual(f_v, train)
                 else:
                     # --- p1: adapters on PRE-block features -------------------
                     if inj.audio_adapter_p1:
@@ -231,11 +231,11 @@ class LockstepEncoder(nn.Module):
                         f_v_res, aux_v = run_adapter(self.vis_moe_p1, f_v, f_a)
                         tele["audio_p1"].append(aux_a["gating_probs"])
                         tele["video_p1"].append(aux_v["gating_probs"])
-                        f_v = f_v + blk_v.attn_residual(f_v, train=train)
+                        f_v = f_v + blk_v.attn_residual(f_v, train)
                         f_v = f_v + f_v_res
                     else:
-                        f_v = f_v + blk_v.attn_residual(f_v, train=train)
-                    f_a = blk_a(f_a, train=train)  # whole audio block between seams
+                        f_v = f_v + blk_v.attn_residual(f_v, train)
+                    f_a = blk_a(f_a, train)  # whole audio block between seams
                     if inj.audio_adapter_p1:
                         f_a = f_a + f_a_res
                     # --- p2: adapters around the visual MLP sub-block ----------
@@ -244,7 +244,7 @@ class LockstepEncoder(nn.Module):
                         f_v_res2, aux_v2 = run_adapter(self.vis_moe_p2, f_v, f_a)
                         tele["audio_p2"].append(aux_a2["gating_probs"])
                         tele["video_p2"].append(aux_v2["gating_probs"])
-                    f_v = f_v + blk_v.mlp_residual(f_v, train=train)
+                    f_v = f_v + blk_v.mlp_residual(f_v, train)
                     if inj.audio_adapter_p2:
                         f_v = f_v + f_v_res2
                         f_a = f_a + f_a_res2

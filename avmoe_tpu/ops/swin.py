@@ -464,19 +464,19 @@ class SwinBlock(nn.Module):
             xg = jnp.roll(xg, (shift, shift), axis=(1, 2))
         return xg.reshape(B, L, C)
 
-    def attn_residual(self, x, *, train: bool = False):
+    def attn_residual(self, x, train: bool = False):
         """Residual delta of the attention sub-block (pre/post-norm aware)."""
         if self.version == "v1":
             return self.dp1(self._windowed_attn(self.norm1(x), train=train), train=train)
         return self.dp1(self.norm1(self._windowed_attn(x, train=train)), train=train)
 
-    def mlp_residual(self, x, *, train: bool = False):
+    def mlp_residual(self, x, train: bool = False):
         """Residual delta of the MLP sub-block."""
         if self.version == "v1":
             return self.dp2(self.mlp(self.norm2(x), train=train), train=train)
         return self.dp2(self.norm2(self.mlp(x, train=train)), train=train)
 
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         x = x + self.attn_residual(x, train=train)
         x = x + self.mlp_residual(x, train=train)
         return x
