@@ -210,7 +210,7 @@ class MoEAdapter(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, other: jax.Array, *, train: bool = False
+        self, x: jax.Array, other: jax.Array, train: bool = False
     ) -> Tuple[jax.Array, dict]:
         B, N, C = x.shape
         assert N == self.num_tokens and C == self.dim, (x.shape, self.num_tokens, self.dim)

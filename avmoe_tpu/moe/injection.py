@@ -129,9 +129,14 @@ class LockstepEncoder(nn.Module):
         self.htsat = HTSATEncoder(self.htsat_cfg, dtype=self.dtype, name="htsat")
         self.sites = plan_injection(self.swin_cfg, self.htsat_cfg, self.injection_cfg)
 
+        adapter_cls = MoEAdapter
+        if self.swin_cfg.remat:
+            # rematerialize adapters together with the backbone blocks
+            adapter_cls = nn.remat(MoEAdapter, static_argnums=(3,))
+
         def make_adapters(prefix: str, audio_side: bool):
             return [
-                MoEAdapter(
+                adapter_cls(
                     dim=s.aud_dim if audio_side else s.vis_dim,
                     other_dim=s.vis_dim if audio_side else s.aud_dim,
                     num_tokens=s.aud_tokens if audio_side else s.vis_tokens,
@@ -206,7 +211,7 @@ class LockstepEncoder(nn.Module):
 
         def run_adapter(adapters, x, other):
             nonlocal lb_losses
-            out, aux = adapters[site_idx](x, other, train=train)
+            out, aux = adapters[site_idx](x, other, train)
             if "lb_loss" in aux:
                 lb_losses.append(aux["lb_loss"])
             return out, aux
