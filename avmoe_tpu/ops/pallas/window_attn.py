@@ -51,7 +51,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_windows",))
+@functools.partial(jax.jit, static_argnames=("num_windows", "interpret"))
 def fused_window_attention(
     q: jax.Array,      # (BW, H, N, D) pre-scaled (v1) / pre-normalized (v2)
     k: jax.Array,      # (BW, H, N, D)
@@ -59,23 +59,25 @@ def fused_window_attention(
     bias: jax.Array,   # (nW, H, N, N) additive bias (+mask), broadcast over batch
     *,
     num_windows: int,
+    interpret: bool = False,
 ) -> jax.Array:
     BW, H, N, D = q.shape
     nW = num_windows
+    B = BW // nW
     assert bias.shape == (nW, H, N, N), (bias.shape, (nW, H, N, N))
 
-    grid = (BW,)
+    # 2-D grid (window, batch) with batch innermost: the bias block index is
+    # constant along the inner loop, so Pallas skips its re-fetch - each
+    # window's bias is DMA'd once, not once per batch item.
+    grid = (nW, B)
+    qkv_spec = pl.BlockSpec((1, H, N, D), lambda i, j: (j * nW + i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, N, N), lambda i: (i % nW, 0, 0, 0),
+        qkv_spec, qkv_spec, qkv_spec,
+        pl.BlockSpec((1, H, N, N), lambda i, j: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0),
+    out_spec = pl.BlockSpec((1, H, N, D), lambda i, j: (j * nW + i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _attn_kernel,
@@ -83,6 +85,7 @@ def fused_window_attention(
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((BW, H, N, D), q.dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * BW * H * N * N * D,
             bytes_accessed=4 * BW * H * N * D * 3 + 4 * nW * H * N * N,

@@ -25,20 +25,9 @@ def test_fused_window_attention_interpret():
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
         num_windows=nW)
 
-    # interpreter-mode pallas_call with identical kernel body
-    out = pl.pallas_call(
-        wa._attn_kernel,
-        grid=(BW,),
-        in_specs=[
-            pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, H, N, N), lambda i: (i % nW, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BW, H, N, D), jnp.float32),
-        interpret=True,
-    )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias))
+    out = wa.fused_window_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        num_windows=nW, interpret=True)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                rtol=1e-5, atol=1e-5)
