@@ -93,20 +93,32 @@ class AVEModel(nn.Module):
         return {"segment_probs": probs.reshape(B, T, -1), "telemetry": telemetry}
 
 
-def make_ave_loss_fn(model: AVEModel, lb_weight: float = 0.0):
+def make_ave_loss_fn(model: AVEModel, lb_weight: float = 0.0,
+                     mixup_alpha: float = 0.5):
     """Loss closure for make_train_step: BCE + 2xCE (+optional LB)
-    with accuracy as an aux metric."""
+    with accuracy as an aux metric.
+
+    Spectrogram mixup lambdas are drawn per frame from Beta(alpha, alpha)
+    (ref: main_trans_v3.py:104 uses get_mix_lambda(0.5, B*10) for the
+    audioset backbone); pass mixup_alpha=0 to disable."""
     from avmoe_tpu.losses.ave import ave_loss
     from avmoe_tpu.metrics.ave import ave_accuracy
 
     def loss_fn(variables, batch, rngs):
+        mixup_lambda = batch.get("mixup_lambda")
+        if mixup_lambda is None and mixup_alpha > 0 and "mixup" in rngs:
+            B, T = batch["wave"].shape[0], batch["wave"].shape[1]
+            mixup_lambda = jax.random.beta(
+                rngs["mixup"], mixup_alpha, mixup_alpha, (B * T,)
+            ).astype(jnp.float32)
+        model_rngs = {k: v for k, v in rngs.items() if k != "mixup"}
         out, upd = model.apply(
             variables,
             batch["wave"],
             batch["images"],
             train=True,
-            mixup_lambda=batch.get("mixup_lambda"),
-            rngs=rngs,
+            mixup_lambda=mixup_lambda,
+            rngs=model_rngs,
             mutable=["batch_stats"],
         )
         loss, aux = ave_loss(out, batch["labels"], lb_weight)

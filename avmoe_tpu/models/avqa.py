@@ -167,10 +167,16 @@ def make_avqa_loss_fn(model: AVQAFusionModel, match_weight: float = 0.5):
     import optax
 
     def loss_fn(variables, batch, rngs):
+        mixup_lambda = batch.get("mixup_lambda")
+        if mixup_lambda is None and "mixup" in rngs:
+            B, T = batch["wave"].shape[0], batch["wave"].shape[1]
+            mixup_lambda = jax.random.beta(
+                rngs["mixup"], 0.5, 0.5, (B * T,)).astype(jnp.float32)
+        rngs = {k: v for k, v in rngs.items() if k != "mixup"}
         out, upd = model.apply(
             variables, batch["wave"], batch["visual_posi"], batch["visual_nega"],
             batch["question"], train=True,
-            mixup_lambda=batch.get("mixup_lambda"),
+            mixup_lambda=mixup_lambda,
             rngs=rngs, mutable=["batch_stats"],
         )
         loss_qa = optax.softmax_cross_entropy_with_integer_labels(

@@ -127,9 +127,15 @@ def make_avs_loss_fn(model: AVSModel):
     cfg = model.cfg
 
     def loss_fn(variables, batch, rngs):
+        mixup_lambda = batch.get("mixup_lambda")
+        if mixup_lambda is None and "mixup" in rngs:
+            B, T = batch["wave"].shape[0], batch["wave"].shape[1]
+            mixup_lambda = jax.random.beta(
+                rngs["mixup"], 0.5, 0.5, (B * T,)).astype(jnp.float32)
+        rngs = {k: v for k, v in rngs.items() if k != "mixup"}
         out, upd = model.apply(
             variables, batch["images"], batch["wave"], train=True,
-            mixup_lambda=batch.get("mixup_lambda"),
+            mixup_lambda=mixup_lambda,
             rngs=rngs, mutable=["batch_stats"],
         )
         loss, aux = iou_semantic_aware_loss(

@@ -132,9 +132,15 @@ def make_avvp_loss_fn(model: MGNModel, lb_weight: float = 1.0):
     from avmoe_tpu.losses.avvp import avvp_loss
 
     def loss_fn(variables, batch, rngs):
+        mixup_lambda = batch.get("mixup_lambda")
+        if mixup_lambda is None and "mixup" in rngs:
+            B, T = batch["wave"].shape[0], batch["wave"].shape[1]
+            mixup_lambda = jax.random.beta(
+                rngs["mixup"], 0.5, 0.5, (B * T,)).astype(jnp.float32)
+        rngs = {k: v for k, v in rngs.items() if k != "mixup"}
         out, upd = model.apply(
             variables, batch["wave"], batch["images"], batch["video_st"],
-            train=True, mixup_lambda=batch.get("mixup_lambda"),
+            train=True, mixup_lambda=mixup_lambda,
             rngs=rngs, mutable=["batch_stats"],
         )
         loss, aux = avvp_loss(out, batch["labels"], lb_weight=lb_weight)

@@ -19,7 +19,7 @@ from avmoe_tpu.train.state import AVMoETrainState
 def make_train_step(
     loss_fn: Callable,
     *,
-    rng_streams: Tuple[str, ...] = ("dropout", "specaug", "router", "gumbel"),
+    rng_streams: Tuple[str, ...] = ("dropout", "specaug", "router", "gumbel", "mixup"),
     donate: bool = True,
 ) -> Callable:
     """Build a jitted train step.
