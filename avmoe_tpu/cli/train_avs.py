@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--tpavi_stages", type=int, nargs="*", default=[0, 1, 2, 3])
     p.add_argument("--sa_loss_flag", action="store_true")
     p.add_argument("--lambda_1", type=float, default=0.0)
+    p.add_argument("--sa_loss_kind", choices=["cosine", "euclidean", "kl"],
+                   default="cosine", help="masked-AV flavor (MS3 adds "
+                   "euclidean/KL, ref avs_ms3/loss.py:23-75)")
+    p.add_argument("--closer_loss", action="store_true",
+                   help="nearest-audio pairing (ref avs_ms3/loss.py:76-131)")
     p.add_argument("--model_save_dir", type=str, default="checkpoints/avs")
     p.add_argument("--num_workers", type=int, default=8)
     return p.parse_args()
@@ -58,6 +63,7 @@ def main():
     cfg = replace(cfg, setting=args.setting,
                   tpavi_stages=tuple(args.tpavi_stages),
                   sa_loss_flag=args.sa_loss_flag, lambda_1=args.lambda_1,
+                  sa_loss_kind=args.sa_loss_kind, closer_loss=args.closer_loss,
                   sa_loss_stages=tuple(args.tpavi_stages) if args.sa_loss_flag else ())
     tcfg = TrainConfig(batch_size=args.train_batch_size, accum_steps=args.accum_itr,
                        epochs=args.max_epoches, lr=args.lr, seed=args.seed)

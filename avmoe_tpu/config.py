@@ -307,6 +307,8 @@ class AVSConfig:
     sa_loss_flag: bool = False
     lambda_1: float = 0.0
     sa_loss_stages: Tuple[int, ...] = ()
+    sa_loss_kind: str = "cosine"   # 'cosine' | 'euclidean' | 'kl' (MS3)
+    closer_loss: bool = False      # nearest-audio pairing (MS3)
     lb_loss_weight: float = 1.0
     swin: SwinV2Config = field(default_factory=SwinV2Config.large)
     htsat: HTSATConfig = field(default_factory=HTSATConfig)

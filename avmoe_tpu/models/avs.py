@@ -143,7 +143,8 @@ def make_avs_loss_fn(model: AVSModel):
             out["a_fea_list"], out["feature_map_list"],
             setting=cfg.setting, num_frames=cfg.num_segments,
             lambda_1=cfg.lambda_1, count_stages=cfg.sa_loss_stages,
-            sa_loss_flag=cfg.sa_loss_flag,
+            sa_loss_flag=cfg.sa_loss_flag, kind=cfg.sa_loss_kind,
+            closer=cfg.closer_loss,
         )
         lb = out["telemetry"]["lb_loss"]
         loss = loss + cfg.lb_loss_weight * lb
