@@ -83,7 +83,11 @@ class AVEDataset:
 
 
 class SyntheticAVEDataset:
-    """Random AVE-shaped data (same dict schema), deterministic per index."""
+    """Random AVE-shaped data (same dict schema), deterministic per index.
+
+    With learnable=True, the class is encoded in the signal: event segments
+    carry a class-specific tone in the waveform and a class-colored square in
+    the frames, so a working train loop must push accuracy above chance."""
 
     def __init__(
         self,
@@ -93,6 +97,8 @@ class SyntheticAVEDataset:
         img_size: int = 192,
         num_classes: int = 28,
         seed: int = 0,
+        learnable: bool = False,
+        sample_rate: int = 32_000,
     ):
         self.length = length
         self.num_segments = num_segments
@@ -100,6 +106,8 @@ class SyntheticAVEDataset:
         self.img_size = img_size
         self.num_classes = num_classes
         self.seed = seed
+        self.learnable = learnable
+        self.sample_rate = sample_rate
 
     def __len__(self) -> int:
         return self.length
@@ -109,13 +117,25 @@ class SyntheticAVEDataset:
         T, C = self.num_segments, self.num_classes
         labels = np.zeros((T, C + 1), dtype=np.float32)
         cls = rng.randint(0, C)
+        is_event = rng.rand(T) < 0.7
         for t in range(T):
-            if rng.rand() < 0.7:
-                labels[t, cls] = 1.0
-            else:
-                labels[t, C] = 1.0
+            labels[t, cls if is_event[t] else C] = 1.0
+        wave = rng.randn(T, self.audio_len).astype(np.float32) * 0.1
+        images = rng.rand(T, self.img_size, self.img_size, 3).astype(np.float32)
+        if self.learnable:
+            freq = 200.0 * (cls + 1)
+            tone = 0.5 * np.sin(
+                2 * np.pi * freq * np.arange(self.audio_len) / self.sample_rate
+            ).astype(np.float32)
+            sz = max(self.img_size // 4, 2)
+            r = (cls % 7) / 7.0
+            g = ((cls // 7) % 4) / 4.0
+            for t in range(T):
+                if is_event[t]:
+                    wave[t] += tone
+                    images[t, :sz, :sz] = (r, g, 1.0)
         return {
-            "wave": rng.randn(T, self.audio_len).astype(np.float32) * 0.1,
-            "images": rng.rand(T, self.img_size, self.img_size, 3).astype(np.float32),
+            "wave": wave,
+            "images": images,
             "labels": labels,
         }
