@@ -44,6 +44,9 @@ def parse_args():
     p.add_argument("--early_stop", type=int, default=20)
     p.add_argument("--seed", type=int, default=999)
     p.add_argument("--model_save_dir", type=str, default="checkpoints/ave")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint (full train state incl. "
+                        "optimizer and step) before training")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--num_workers", type=int, default=8)
     return p.parse_args()
@@ -104,6 +107,10 @@ def main():
     eval_step = make_eval_step(make_ave_eval_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)
     tracker = ExpertUsageTracker(cfg.moe.num_experts)
+
+    if args.resume and ckpts.latest_step() is not None:
+        state = ckpts.restore(state)
+        logging.info("resumed from step %d", int(state.step))
 
     if args.mode == "test":
         # restore best checkpoint and evaluate (ref: main_trans_v3.py:349-354)
