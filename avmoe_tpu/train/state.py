@@ -54,7 +54,11 @@ def step_decay_schedule(base_lr: float, gamma: float, step_size_epochs: int,
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
-    sched = step_decay_schedule(cfg.lr, cfg.decay, cfg.decay_epoch, steps_per_epoch)
+    # Under MultiSteps the inner optimizer's count advances once per APPLIED
+    # update (every accum_steps micro-steps), so the schedule must be phrased
+    # in updates/epoch, not micro-steps/epoch.
+    updates_per_epoch = max(steps_per_epoch // max(cfg.accum_steps, 1), 1)
+    sched = step_decay_schedule(cfg.lr, cfg.decay, cfg.decay_epoch, updates_per_epoch)
     tx = optax.adam(learning_rate=sched)
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
