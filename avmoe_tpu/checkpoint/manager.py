@@ -22,6 +22,14 @@ from flax import traverse_util
 from avmoe_tpu.train.state import AVMoETrainState
 
 
+def jnp_like(template, value):
+    """Cast a restored array to the template's dtype (restores come back as
+    numpy; keep the state's dtypes)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(value, dtype=np.asarray(template).dtype)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -45,9 +53,24 @@ class CheckpointManager:
         self._mngr.save(step, args=ocp.args.StandardSave(payload), metrics=metrics)
         self._mngr.wait_until_finished()
 
-    def restore(self, state: AVMoETrainState, step: Optional[int] = None) -> AVMoETrainState:
+    def restore(self, state: AVMoETrainState, step: Optional[int] = None,
+                params_only: bool = False) -> AVMoETrainState:
+        """Full-state restore; with params_only=True only params/batch_stats
+        are taken (evaluation from a checkpoint trained with a different
+        optimizer config, e.g. another accum_itr)."""
         step = step if step is not None else self._mngr.latest_step()
         assert step is not None, f"no checkpoint found in {self.directory}"
+        if params_only:
+            raw = self._mngr.restore(step)  # structure-free restore
+            return state.replace(
+                trainable=jax.tree_util.tree_map(
+                    lambda t, s: jnp_like(s, t), raw["trainable"], state.trainable),
+                frozen=jax.tree_util.tree_map(
+                    lambda t, s: jnp_like(s, t), raw["frozen"], state.frozen),
+                batch_stats=jax.tree_util.tree_map(
+                    lambda t, s: jnp_like(s, t), raw["batch_stats"],
+                    state.batch_stats),
+            )
         template = {
             "trainable": state.trainable,
             "frozen": state.frozen,

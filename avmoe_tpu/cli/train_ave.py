@@ -114,7 +114,7 @@ def main():
 
     if args.mode == "test":
         # restore best checkpoint and evaluate (ref: main_trans_v3.py:349-354)
-        state = ckpts.restore(state)
+        state = ckpts.restore(state, params_only=True)
         accs = []
         for batch in val_loader:
             metrics = eval_step(state, batch)

@@ -137,8 +137,12 @@ def main():
     @jax.jit
     def predict(variables, wave, posi, nega, question):
         out = model.apply(variables, wave, posi, nega, question, train=False)
-        return jnp.argmax(out["qa_logits"][:, : cfg.answer_vocab], axis=-1)
+        return (jnp.argmax(out["qa_logits"][:, : cfg.answer_vocab], axis=-1),
+                out["telemetry"])
 
+    from avmoe_tpu.telemetry.experts import ExpertUsageTracker
+
+    tracker = ExpertUsageTracker(cfg.moe.num_experts)
     rng = jax.random.PRNGKey(tcfg.seed)
     best = -np.inf
     for epoch in range(1, tcfg.epochs + 1):
@@ -155,10 +159,11 @@ def main():
             variables_eval = {"params": merge_params(state.trainable, state.frozen),
                               "batch_stats": state.batch_stats}
             for b in val_loader:
-                pred = predict(variables_eval, jnp.asarray(b["wave"]),
-                               jnp.asarray(b["visual_posi"]),
-                               jnp.asarray(b["visual_nega"]),
-                               jnp.asarray(b["question"]))
+                pred, telemetry = predict(variables_eval, jnp.asarray(b["wave"]),
+                                          jnp.asarray(b["visual_posi"]),
+                                          jnp.asarray(b["visual_nega"]),
+                                          jnp.asarray(b["question"]))
+                tracker.update(telemetry)
                 acc.update(np.asarray(pred), b["answer"], list(b["qtype_str"]))
             summary = acc.summary()
             val = summary["overall"]
@@ -168,6 +173,7 @@ def main():
         if val >= best:
             best = val
             ckpts.save_if_best(int(state.step), state, val)
+    tracker.save(args.model_save_dir)  # expert-usage dumps (ref main_avst_v2)
     log.info("best: %.4f", best)
 
 

@@ -107,17 +107,21 @@ def main():
 
     @jax.jit
     def predict(variables, images, wave):
-        return model.apply(variables, images, wave, train=False)["mask_logits"]
+        out = model.apply(variables, images, wave, train=False)
+        return out["mask_logits"], out["telemetry"]
 
     if args.mode == "test":
         from avmoe_tpu.metrics.avs import save_mask
+        from avmoe_tpu.telemetry.experts import ExpertUsageTracker
 
-        state = ckpts.restore(state)
+        tracker = ExpertUsageTracker(cfg.moe.num_experts)
+        state = ckpts.restore(state, params_only=True)
         variables_eval = {"params": merge_params(state.trainable, state.frozen),
                           "batch_stats": state.batch_stats}
         ious, preds, gts = [], [], []
         for bi, batch in enumerate(val_loader):
-            logits = predict(variables_eval, batch["images"], batch["wave"])
+            logits, telemetry = predict(variables_eval, batch["images"], batch["wave"])
+            tracker.update(telemetry)
             mask = batch["mask"].reshape((-1,) + batch["mask"].shape[-2:])
             ious.append(float(mask_iou(logits, mask)))
             preds.append(np.asarray(logits))
@@ -128,6 +132,7 @@ def main():
                           f"{args.model_save_dir}/pred_masks", names)
         fscore = float(eval_fmeasure(jnp.asarray(np.concatenate(preds)),
                                      jnp.asarray(np.concatenate(gts))))
+        tracker.save(args.model_save_dir)  # expert-usage .npy dumps (ref test_v2)
         log.info("test miou %.4f F %.4f", float(np.mean(ious)), fscore)
         return
 
@@ -145,7 +150,7 @@ def main():
                           "batch_stats": state.batch_stats}
         ious, preds, gts = [], [], []
         for batch in val_loader:
-            logits = predict(variables_eval, batch["images"], batch["wave"])
+            logits, _ = predict(variables_eval, batch["images"], batch["wave"])
             mask = batch["mask"]
             mask = mask.reshape((-1,) + mask.shape[-2:])
             ious.append(float(mask_iou(logits, mask)))

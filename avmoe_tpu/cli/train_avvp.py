@@ -131,7 +131,7 @@ def main():
     ckpts = CheckpointManager(args.model_save_dir)
 
     if args.mode == "test":
-        state = ckpts.restore(state)
+        state = ckpts.restore(state, params_only=True)
         summary = evaluate(model, state, val_loader, gt_audio, gt_visual, cfg.num_segments)
         log.info("test F1 suite: %s", {k: round(v, 2) for k, v in summary.items()})
         return

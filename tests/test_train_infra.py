@@ -116,3 +116,25 @@ def test_load_partial_surgery():
     out = CheckpointManager.load_partial(params, donor, exclude=r"fc_ans")
     np.testing.assert_array_equal(out["fc_a1"]["kernel"], np.ones((2, 2)))
     np.testing.assert_array_equal(out["fc_ans"]["kernel"], np.zeros((2, 4)))
+
+
+def test_params_only_restore_across_optimizer_configs(tmp_path):
+    """Eval-time restore must not require the training optimizer topology."""
+    import jax.numpy as jnp
+    from avmoe_tpu.checkpoint.manager import CheckpointManager
+
+    class Shim:
+        apply = staticmethod(lambda *a, **k: None)
+
+    params = {"head": {"kernel": jnp.arange(6.0).reshape(2, 3)},
+              "swin": {"w": jnp.ones(3)}}
+    st1 = create_train_state(Shim, {"params": params}, TrainConfig(accum_steps=1))
+    m = CheckpointManager(str(tmp_path / "ck"))
+    m.save(1, st1)
+    st2 = create_train_state(
+        Shim, {"params": jax.tree_util.tree_map(jnp.zeros_like, params)},
+        TrainConfig(accum_steps=4))  # MultiSteps -> different opt_state pytree
+    restored = m.restore(st2, params_only=True)
+    np.testing.assert_array_equal(
+        np.asarray(restored.trainable["head"]["kernel"]),
+        np.arange(6.0).reshape(2, 3))
