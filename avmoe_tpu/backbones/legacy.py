@@ -44,10 +44,16 @@ class BasicBlock(nn.Module):
 
 
 class ResNet18(nn.Module):
-    """BasicBlock ResNet-18 (grounding-gen visual_net)."""
+    """BasicBlock ResNet-18 (grounding-gen visual_net.py:117-231).
+
+    The reference's grounding variant keeps layer4 at stride 1 and returns
+    the spatial feature map (visual_net.py:35,197-209); set num_classes for
+    the pooled classifier head instead."""
 
     num_classes: int = 0
     depths: Sequence[int] = (2, 2, 2, 2)
+    layer4_stride: int = 1
+    return_map: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -59,9 +65,14 @@ class ResNet18(nn.Module):
         feats = 64
         for s, d in enumerate(self.depths):
             for i in range(d):
-                x = BasicBlock(feats, stride=2 if (s > 0 and i == 0) else 1,
+                stride = 1
+                if s > 0 and i == 0:
+                    stride = self.layer4_stride if s == 3 else 2
+                x = BasicBlock(feats, stride=stride,
                                name=f"layer{s + 1}_{i}")(x, train=train)
             feats *= 2
+        if self.return_map:
+            return x
         pooled = x.mean(axis=(1, 2))
         if self.num_classes:
             return nn.Dense(self.num_classes, name="fc")(pooled)

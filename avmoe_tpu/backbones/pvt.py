@@ -63,7 +63,7 @@ class SRAttention(nn.Module):
             g = x.reshape(B, h, w, C)
             g = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
                         strides=self.sr_ratio, name="sr")(g)
-            kv_in = nn.LayerNorm(epsilon=1e-5, name="norm")(g.reshape(B, -1, C))
+            kv_in = nn.LayerNorm(epsilon=1e-6, name="norm")(g.reshape(B, -1, C))
         else:
             kv_in = x
         kv = nn.Dense(2 * C, name="kv")(kv_in).reshape(B, -1, 2, H, D)
@@ -87,10 +87,10 @@ class PVTBlock(nn.Module):
     def __call__(self, x, h: int, w: int, *, train: bool = False):
         dp = DropPath(self.drop_path)
         x = x + dp(SRAttention(self.dim, self.num_heads, self.sr_ratio,
-                               name="attn")(nn.LayerNorm(epsilon=1e-5, name="norm1")(x), h, w,
+                               name="attn")(nn.LayerNorm(epsilon=1e-6, name="norm1")(x), h, w,
                                             train=train), train=train)
         x = x + dp(PVTMlp(int(self.dim * self.mlp_ratio), self.dim,
-                          name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), h, w,
+                          name="mlp")(nn.LayerNorm(epsilon=1e-6, name="norm2")(x), h, w,
                                       train=train), train=train)
         return x
 
@@ -106,7 +106,7 @@ class OverlapPatchEmbed(nn.Module):
         x = nn.Conv(self.dim, (self.patch, self.patch), strides=self.stride,
                     padding=pad, name="proj")(x)
         B, H, W, C = x.shape
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x.reshape(B, H * W, C)), H, W
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x.reshape(B, H * W, C)), H, W
 
 
 class PVTv2(nn.Module):
@@ -134,18 +134,19 @@ class PVTv2(nn.Module):
                              self.mlp_ratios[s], self.sr_ratios[s], dpr[k],
                              name=f"block{s + 1}_{i}")(x, h, w, train=train)
                 k += 1
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{s + 1}")(x)
+            x = nn.LayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(x)
             x = x.reshape(x.shape[0], h, w, self.dims[s])
             outs.append(x)
         return outs
 
 
 def pvt_v2_b0() -> PVTv2:
-    return PVTv2(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2))
+    return PVTv2(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2),
+                 mlp_ratios=(8, 8, 4, 4))
 
 
 def pvt_v2_b2() -> PVTv2:
-    return PVTv2(depths=(3, 4, 6, 3))
+    return PVTv2(depths=(3, 4, 6, 3), mlp_ratios=(8, 8, 4, 4))
 
 
 def pvt_v2_b5() -> PVTv2:

@@ -55,8 +55,8 @@ class ResNetStage(nn.Module):
 
 
 class B2ResNet(nn.Module):
-    """Stem + layer1/2 shared; (layer3, layer4) and (layer3_1, layer4_1)
-    branches as in the reference."""
+    """Stem + layer1/2 shared; (layer3_1, layer4_1) and (layer3_2, layer4_2)
+    branches, matching the reference's naming (avs_s4/model/resnet.py:95-100)."""
 
     depths: Sequence[int] = (3, 4, 6, 3)
 
@@ -70,7 +70,7 @@ class B2ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x1 = ResNetStage(64, self.depths[0], 1, name="layer1")(x, train=train)
         x2 = ResNetStage(128, self.depths[1], 2, name="layer2")(x1, train=train)
-        suffix = "_1" if branch == 1 else ""
+        suffix = "_1" if branch == 1 else "_2"
         x3 = ResNetStage(256, self.depths[2], 2,
                          name=f"layer3{suffix}")(x2, train=train)
         x4 = ResNetStage(512, self.depths[3], 2,

@@ -81,9 +81,11 @@ class VGGish(nn.Module):
         x = conv(x, 512, "conv4_1")
         x = conv(x, 512, "conv4_2")
         x = nn.max_pool(x, (2, 2), (2, 2))
-        # torch flattens NCHW (C=512, H=6, W=4): permute to match weight layout
+        # the reference transposes to channels-last BEFORE flattening
+        # (vggish.py:25-28, "remain compatible with vggish embeddings"):
+        # flatten order is (H, W, C) - exactly our channels-last layout
         B = x.shape[0]
-        x = x.transpose(0, 3, 1, 2).reshape(B, -1)  # (B, 512*6*4)
+        x = x.reshape(B, -1)  # (B, 6*4*512)
         x = nn.relu(nn.Dense(4096, name="fc1_1")(x))
         x = nn.relu(nn.Dense(4096, name="fc1_2")(x))
         x = nn.relu(nn.Dense(EMBEDDING_SIZE, name="fc2")(x))

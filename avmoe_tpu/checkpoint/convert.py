@@ -104,6 +104,98 @@ def convert_htsat(
     return traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(bs)
 
 
+def _grouped_conv1x1(w: np.ndarray, groups: int) -> np.ndarray:
+    """torch grouped Conv2d(k=1) weight (out, in/g, 1, 1) -> GroupedDense
+    kernel (g, in/g, out/g)."""
+    w = w.reshape(w.shape[0], w.shape[1])
+    out, in_g = w.shape
+    return w.reshape(groups, out // groups, in_g).transpose(0, 2, 1)
+
+
+def _bn(p, bs, sd, src: str, dst: str) -> None:
+    _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+    _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+    _set(bs, f"{dst}/mean", sd[f"{src}.running_mean"])
+    _set(bs, f"{dst}/var", sd[f"{src}.running_var"])
+
+
+def convert_moe_adapter(
+    sd: Dict[str, np.ndarray],
+    *,
+    num_multimodal: int = 1,
+    num_singlemodal: int = 1,
+    num_conv_group: int = 2,
+    use_bn: bool = True,
+    use_gate: bool = True,
+    before_layernorm: bool = True,
+    post_layernorm: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Reference MoEAdapter state_dict (net_trans_v3.py:438-487) ->
+    (params, batch_stats) for avmoe_tpu.moe.adapter.MoEAdapter.
+
+    The reference keeps E separate ExpertAdapter modules; the TPU version
+    evaluates them as ONE stacked vmap module, so per-expert tensors are
+    stacked along a new leading axis. The reference's conv_adapter (token-axis
+    1x1 conv) + fc (channel Linear) become token_proj_*/fc_* (the projection
+    order optimization in MoEAdapter folds the conv bias through fc's column
+    sums - same function).
+    """
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    bs: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    _set(p, "token_proj_kernel", sd["conv_adapter.weight"].reshape(
+        sd["conv_adapter.weight"].shape[:2]))
+    _set(p, "token_proj_bias", sd["conv_adapter.bias"])
+    w, b = _linear(sd, "fc")
+    _set(p, "fc_kernel", w)
+    _set(p, "fc_bias", b)
+    for i, lyr in enumerate((0, 2)):
+        w, b = _linear(sd, f"router.{lyr}")
+        _set(p, f"router_fc{i}/kernel", w)
+        _set(p, f"router_fc{i}/bias", b)
+    w, b = _linear(sd, "router.4")
+    _set(p, "router_out/kernel", w)
+    _set(p, "router_out/bias", b)
+
+    def stack(prefix: str, n: int, key: str) -> np.ndarray:
+        return np.stack([sd[f"{prefix}.{i}.{key}"] for i in range(n)])
+
+    def convert_experts(prefix: str, dst: str, n: int, multimodal: bool) -> None:
+        if n == 0:
+            return
+        if multimodal:
+            _set(p, f"{dst}/latent_tokens", stack(prefix, n, "my_tokens"))
+            _set(p, f"{dst}/gate_av", stack(prefix, n, "gate_av"))
+        if use_gate:
+            _set(p, f"{dst}/gate", stack(prefix, n, "gate"))
+        if before_layernorm:
+            _set(p, f"{dst}/ln_before/scale", stack(prefix, n, "ln_before.weight"))
+            _set(p, f"{dst}/ln_before/bias", stack(prefix, n, "ln_before.bias"))
+        if post_layernorm:
+            _set(p, f"{dst}/ln_post/scale", stack(prefix, n, "ln_post.weight"))
+            _set(p, f"{dst}/ln_post/bias", stack(prefix, n, "ln_post.bias"))
+        _set(p, f"{dst}/bottleneck/down/kernel", np.stack([
+            _grouped_conv1x1(sd[f"{prefix}.{i}.down_sampler.weight"], num_conv_group)
+            for i in range(n)]))
+        _set(p, f"{dst}/bottleneck/up/kernel", np.stack([
+            _grouped_conv1x1(sd[f"{prefix}.{i}.up_sampler.weight"], num_conv_group)
+            for i in range(n)]))
+        if use_bn:
+            for bn in ("bn1", "bn2"):
+                _set(p, f"{dst}/bottleneck/{bn}/scale", stack(prefix, n, f"{bn}.weight"))
+                _set(p, f"{dst}/bottleneck/{bn}/bias", stack(prefix, n, f"{bn}.bias"))
+                _set(bs, f"{dst}/bottleneck/{bn}/mean",
+                     stack(prefix, n, f"{bn}.running_mean"))
+                _set(bs, f"{dst}/bottleneck/{bn}/var",
+                     stack(prefix, n, f"{bn}.running_var"))
+
+    convert_experts("multimodal_experts", "multimodal_experts",
+                    num_multimodal, True)
+    convert_experts("singlemodal_experts", "singlemodal_experts",
+                    num_singlemodal, False)
+    return traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(bs)
+
+
 def convert_swinv2_timm(
     sd: Dict[str, np.ndarray], depths: Sequence[int] = (2, 2, 18, 2)
 ) -> Dict:
@@ -143,6 +235,275 @@ def convert_swinv2_timm(
     _set(p, "norm/scale", sd["norm.weight"])
     _set(p, "norm/bias", sd["norm.bias"])
     return traverse_util.unflatten_dict(p)
+
+
+def convert_lockstep_encoder(
+    sd: Dict[str, np.ndarray],
+    *,
+    n_sites: int = 12,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+    p1: bool = True,
+    p2: bool = True,
+    moe_kwargs: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """Reference MMIL_Net-style state_dict (swin.* + htsat.* +
+    {audio,vis}_moe_adapter_blocks_p{1,2}.{i}.*, net_trans_v3.py:489-637) ->
+    (params, batch_stats) for moe.injection.LockstepEncoder.
+
+    This is the weight path for the reference's published AVE checkpoints
+    (e.g. best_82.18.pt): backbones + every MoE adapter site."""
+    moe_kwargs = moe_kwargs or {}
+    p: Dict = {"swin": convert_swinv2_timm(strip_prefix(
+        {k: v for k, v in sd.items() if k.startswith("swin.")}, "swin."),
+        swin_depths)}
+    hp, hbs = convert_htsat(strip_prefix(
+        {k: v for k, v in sd.items() if k.startswith("htsat.")}, "htsat."),
+        htsat_depths)
+    p["htsat"] = hp
+    bs: Dict = {"htsat": hbs}
+
+    pairs = []
+    if p1:
+        pairs += [("audio_moe_adapter_blocks_p1", "audio_moe_p1"),
+                  ("vis_moe_adapter_blocks_p1", "vis_moe_p1")]
+    if p2:
+        pairs += [("audio_moe_adapter_blocks_p2", "audio_moe_p2"),
+                  ("vis_moe_adapter_blocks_p2", "vis_moe_p2")]
+    for src, dst in pairs:
+        for i in range(n_sites):
+            sub = strip_prefix(
+                {k: v for k, v in sd.items() if k.startswith(f"{src}.{i}.")},
+                f"{src}.{i}.")
+            ap, abs_ = convert_moe_adapter(sub, **moe_kwargs)
+            p[f"{dst}_{i}"] = ap
+            if abs_:
+                bs[f"{dst}_{i}"] = abs_
+    return p, bs
+
+
+def _conv(p, sd, src: str, dst: str) -> None:
+    """torch Conv2d (O, I/g, kh, kw) -> flax (kh, kw, I/g, O)."""
+    _set(p, f"{dst}/kernel", sd[f"{src}.weight"].transpose(2, 3, 1, 0))
+    if f"{src}.bias" in sd:
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def convert_pvt_v2(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (3, 6, 40, 3),
+    sr_ratios: Sequence[int] = (8, 4, 2, 1),
+) -> Dict:
+    """Reference PVT-v2 state_dict (avs_s4/model/pvt.py:218-425, pretrained
+    load at :413 / config paths avs_s4/config.py:12-36) -> params for
+    backbones.pvt.PVTv2."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    for s in range(4):
+        pe = f"patch_embed{s + 1}"
+        _conv(p, sd, f"{pe}.proj", f"{pe}/proj")
+        _ln(p, sd, f"{pe}.norm", f"{pe}/norm")
+        for i in range(depths[s]):
+            src = f"block{s + 1}.{i}"
+            dst = f"block{s + 1}_{i}"
+            _ln(p, sd, f"{src}.norm1", f"{dst}/norm1")
+            _ln(p, sd, f"{src}.norm2", f"{dst}/norm2")
+            _dense(p, sd, f"{src}.attn.q", f"{dst}/attn/q")
+            _dense(p, sd, f"{src}.attn.kv", f"{dst}/attn/kv")
+            _dense(p, sd, f"{src}.attn.proj", f"{dst}/attn/proj")
+            if sr_ratios[s] > 1:
+                _conv(p, sd, f"{src}.attn.sr", f"{dst}/attn/sr")
+                _ln(p, sd, f"{src}.attn.norm", f"{dst}/attn/norm")
+            _dense(p, sd, f"{src}.mlp.fc1", f"{dst}/mlp/fc1")
+            _dense(p, sd, f"{src}.mlp.fc2", f"{dst}/mlp/fc2")
+            _conv(p, sd, f"{src}.mlp.dwconv.dwconv", f"{dst}/mlp/dwconv/dwconv")
+        _ln(p, sd, f"norm{s + 1}", f"norm{s + 1}")
+    return traverse_util.unflatten_dict(p)
+
+
+def _resnet_block(p, bs, sd, src: str, dst: str, convs: int) -> None:
+    for c in range(1, convs + 1):
+        _conv(p, sd, f"{src}.conv{c}", f"{dst}/conv{c}")
+        _bn(p, bs, sd, f"{src}.bn{c}", f"{dst}/bn{c}")
+    if f"{src}.downsample.0.weight" in sd:
+        _conv(p, sd, f"{src}.downsample.0", f"{dst}/downsample_conv")
+        _bn(p, bs, sd, f"{src}.downsample.1", f"{dst}/downsample_bn")
+
+
+def convert_b2_resnet(
+    sd: Dict[str, np.ndarray], depths: Sequence[int] = (3, 4, 6, 3)
+) -> Tuple[Dict, Dict]:
+    """Reference B2_ResNet (avs_s4/model/resnet.py:82-140; pretrained load in
+    ResNet_AVSModel.py:1-60) -> (params, batch_stats) for backbones.resnet.
+    B2ResNet, including the layer3_1/layer4_1 branch."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    bs: Dict[Tuple[str, ...], np.ndarray] = {}
+    _conv(p, sd, "conv1", "conv1")
+    _bn(p, bs, sd, "bn1", "bn1")
+    layers = [("layer1", depths[0]), ("layer2", depths[1]),
+              ("layer3_1", depths[2]), ("layer4_1", depths[3]),
+              ("layer3_2", depths[2]), ("layer4_2", depths[3])]
+    for name, depth in layers:
+        if f"{name}.0.conv1.weight" not in sd:
+            continue
+        for i in range(depth):
+            _resnet_block(p, bs, sd, f"{name}.{i}", f"{name}/block_{i}", 3)
+    return traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(bs)
+
+
+def convert_resnet18(
+    sd: Dict[str, np.ndarray], depths: Sequence[int] = (2, 2, 2, 2)
+) -> Tuple[Dict, Dict]:
+    """torchvision-style ResNet18 (grounding_gen/visual_net.py:117-231) ->
+    (params, batch_stats) for backbones.legacy.ResNet18."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    bs: Dict[Tuple[str, ...], np.ndarray] = {}
+    _conv(p, sd, "conv1", "conv1")
+    _bn(p, bs, sd, "bn1", "bn1")
+    for s in range(4):
+        for i in range(depths[s]):
+            _resnet_block(p, bs, sd, f"layer{s + 1}.{i}", f"layer{s + 1}_{i}", 2)
+    if "fc.weight" in sd:
+        _dense(p, sd, "fc", "fc")
+    return traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(bs)
+
+
+# torchvggish VGG nn.Sequential indices (ref: torchvggish/vggish.py:9-33)
+_VGGISH_FEATURES = [(0, "conv1"), (3, "conv2"), (6, "conv3_1"), (8, "conv3_2"),
+                    (11, "conv4_1"), (13, "conv4_2")]
+_VGGISH_EMBEDDINGS = [(0, "fc1_1"), (2, "fc1_2"), (4, "fc2")]
+
+
+def convert_vggish(sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvggish VGG state_dict (ref: avs_s4/torchvggish/vggish.py:143-195,
+    frozen audio_extractor in avs_s4/train_v2.py:57-64) -> params for
+    backbones.vggish.VGGish."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    for idx, dst in _VGGISH_FEATURES:
+        _conv(p, sd, f"features.{idx}", dst)
+    for idx, dst in _VGGISH_EMBEDDINGS:
+        _dense(p, sd, f"embeddings.{idx}", dst)
+    return traverse_util.unflatten_dict(p)
+
+
+def convert_vggish_pca(sd: Dict[str, np.ndarray]):
+    """PCA params file (ref: vggish.py:34-100 Postprocessor) ->
+    VGGishPostprocessor."""
+    from avmoe_tpu.backbones.vggish import VGGishPostprocessor
+
+    return VGGishPostprocessor(sd["pca_eigen_vectors"], sd["pca_means"])
+
+
+def _mha(p, sd, src: str, dst: str, num_heads: int) -> None:
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    D = sd[f"{src}.in_proj_weight"].shape[1]
+    hd = D // num_heads
+    wq, wk, wv = np.split(sd[f"{src}.in_proj_weight"], 3, axis=0)
+    bq, bk, bv = np.split(sd[f"{src}.in_proj_bias"], 3, axis=0)
+    for name, w, b in (("query", wq, bq), ("key", wk, bk), ("value", wv, bv)):
+        _set(p, f"{dst}/{name}/kernel", w.T.reshape(D, num_heads, hd))
+        _set(p, f"{dst}/{name}/bias", b.reshape(num_heads, hd))
+    _set(p, f"{dst}/out/kernel",
+         sd[f"{src}.out_proj.weight"].T.reshape(num_heads, hd, D))
+    _set(p, f"{dst}/out/bias", sd[f"{src}.out_proj.bias"])
+
+
+def _dense(p, sd, src: str, dst: str) -> None:
+    w, b = _linear(sd, src)
+    _set(p, f"{dst}/kernel", w)
+    if b is not None:
+        _set(p, f"{dst}/bias", b)
+
+
+def _ln(p, sd, src: str, dst: str) -> None:
+    _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+    _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _lstm_dir(p, sd, src: str, dst: str, suffix: str) -> None:
+    # torch LSTM packs gates (i,f,g,o) row-blocks in weight_ih/weight_hh with
+    # two bias vectors (summed at runtime); flax OptimizedLSTMCell keeps one
+    # Dense per gate: i{g} on inputs (no bias) + h{g} on hidden (with bias).
+    wih = sd[f"{src}.weight_ih_l0{suffix}"]   # (4H, in)
+    whh = sd[f"{src}.weight_hh_l0{suffix}"]   # (4H, H)
+    bias = sd[f"{src}.bias_ih_l0{suffix}"] + sd[f"{src}.bias_hh_l0{suffix}"]
+    H = whh.shape[1]
+    for gi, g in enumerate("ifgo"):
+        _set(p, f"{dst}/i{g}/kernel", wih[gi * H:(gi + 1) * H].T)
+        _set(p, f"{dst}/h{g}/kernel", whh[gi * H:(gi + 1) * H].T)
+        _set(p, f"{dst}/h{g}/bias", bias[gi * H:(gi + 1) * H])
+
+
+def convert_bilstm(p, sd, src: str, dst: str) -> None:
+    _lstm_dir(p, sd, src, f"{dst}/fwd_cell", "")
+    _lstm_dir(p, sd, src, f"{dst}/bwd_cell", "_reverse")
+
+
+def _enc_dec_layer(p, sd, src: str, dst: str, attn_src: str, attn_dst: str,
+                   num_heads: int = 4) -> None:
+    _mha(p, sd, f"{src}.{attn_src}", f"{dst}/{attn_dst}", num_heads)
+    _dense(p, sd, f"{src}.linear1", f"{dst}/ff1")
+    _dense(p, sd, f"{src}.linear2", f"{dst}/ff2")
+    _ln(p, sd, f"{src}.norm1", f"{dst}/norm1")
+    _ln(p, sd, f"{src}.norm2", f"{dst}/norm2")
+
+
+def convert_temporal_attention(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference TemporalAttention (net_trans_v3.py:180-253) -> params for
+    heads.ave.TemporalAttention. The reference DecoderLayer's unused
+    self_attn (models.py:133 constructs it; forward never calls it) is
+    dropped."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    _dense(p, sd, "a_fc", "a_fc")
+    _dense(p, sd, "v_fc", "v_fc")
+    convert_bilstm(p, sd, "audio_visual_rnn_layer.audio_rnn", "audio_rnn")
+    convert_bilstm(p, sd, "audio_visual_rnn_layer.visual_rnn", "visual_rnn")
+    for side in ("video", "audio"):
+        _dense(p, sd, f"{side}_encoder.affine_matrix", f"{side}_enc_affine")
+        for i in range(2):
+            _enc_dec_layer(p, sd, f"{side}_encoder.encoder.layers.{i}",
+                           f"{side}_encoder/layer_{i}", "self_attn", "self_attn")
+        _dense(p, sd, f"{side}_decoder.affine_matrix", f"{side}_dec_affine")
+        _enc_dec_layer(p, sd, f"{side}_decoder.decoder.layers.0",
+                       f"{side}_decoder/layer_0", "multihead_attn", "cross_attn")
+        _dense(p, sd, f"{side}_gated.0", f"{side}_gated")
+    return traverse_util.unflatten_dict(p)
+
+
+def convert_cmbs(sd: Dict[str, np.ndarray], *, inter: bool = False) -> Dict:
+    """Reference CMBS (net_trans_v3.py:256-293) -> params for heads.ave.CMBSHead."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    _dense(p, sd, "video_cas", "video_cas")
+    _dense(p, sd, "audio_cas", "audio_cas")
+    _dense(p, sd, "localize_module.classifier", "classifier")
+    _dense(p, sd, "localize_module.event_classifier", "event_classifier")
+    if inter:
+        for src, dst in (("AVInter", "av_inter"), ("VAInter", "va_inter")):
+            _mha(p, sd, f"{src}.video_multihead", f"{dst}/mha", 4)
+            _ln(p, sd, f"{src}.norm1", f"{dst}/norm1")
+    return traverse_util.unflatten_dict(p)
+
+
+def convert_mmil_net(
+    sd: Dict[str, np.ndarray],
+    *,
+    n_sites: int = 8,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+    inter: bool = False,
+    encoder_scope: str = "encoder",
+) -> Tuple[Dict, Dict]:
+    """Full reference MMIL_Net state_dict (the published AVE checkpoints,
+    e.g. best_82.18.pt) -> (params, batch_stats) for models.ave.AVEModel."""
+    ep, ebs = convert_lockstep_encoder(
+        sd, n_sites=n_sites, swin_depths=swin_depths, htsat_depths=htsat_depths)
+    params: Dict = {encoder_scope: ep,
+                    "temporal_attn": convert_temporal_attention(strip_prefix(
+                        {k: v for k, v in sd.items()
+                         if k.startswith("temporal_attn.")}, "temporal_attn.")),
+                    "cmbs": convert_cmbs(strip_prefix(
+                        {k: v for k, v in sd.items() if k.startswith("CMBS.")},
+                        "CMBS."), inter=inter)}
+    return params, {encoder_scope: ebs}
 
 
 def graft_backbones(

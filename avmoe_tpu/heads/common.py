@@ -96,7 +96,7 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="bwd", reverse=True,
-                     keep_order=True)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, name="fwd_cell"))
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, name="bwd_cell"),
+                     reverse=True, keep_order=True)
         return jnp.concatenate([fwd(x), bwd(x)], axis=-1)

@@ -33,24 +33,36 @@ def f1_iou_bce_loss(pred_logits: jax.Array, first_gt: jax.Array,
 
 
 def f5_iou_bce_loss(pred_logits: jax.Array, gt: jax.Array) -> jax.Array:
-    """BCE on all frames (MS3, ref: avs_ms3/loss.py:7-20). Shapes (B*T, H, W)."""
+    """BCE on all frames (MS3, ref: avs_ms3/loss.py:7-20). pred (B*T, H, W);
+    gt (B*T, H, W) or batched (B, T, H, W)."""
+    gt = gt.reshape(pred_logits.shape)
     return _bce(jax.nn.sigmoid(pred_logits), gt)
 
 
 def _masked_visual_feature(pred_logits: jax.Array, v_map: jax.Array,
-                           pooling: str, threshold: bool) -> jax.Array:
+                           pooling: str, threshold: bool,
+                           sigmoid_after_pool: bool) -> jax.Array:
     """Pool pred masks to the feature-map size, mask the visual map, average.
-    v_map (B*T, H, W, C); returns (B*T, C)."""
+
+    The reference's S4 flavor sigmoids the full-res mask before pooling
+    (avs_s4/loss.py:44); MS3 pools the raw logits and sigmoids the pooled
+    result (avs_ms3/loss.py:47-50) - these don't commute, so both orders
+    are supported. v_map (B*T, H, W, C); returns (B*T, C)."""
     BT, H, W, C = v_map.shape
-    probs = jax.nn.sigmoid(pred_logits)[..., None]  # (BT, 224, 224, 1)
-    ph, pw = probs.shape[1] // H, probs.shape[2] // W
+    x = pred_logits[..., None]  # (BT, 224, 224, 1)
+    if not sigmoid_after_pool:
+        x = jax.nn.sigmoid(x)
+    ph, pw = x.shape[1] // H, x.shape[2] // W
+    # pool via reshape (pool sizes always divide): equivalent to
+    # AdaptiveAvg/MaxPool2d but avoids reduce_window, whose backward
+    # compiles pathologically slowly on CPU and tiles poorly on TPU
+    xg = x.reshape(x.shape[0], H, ph, W, pw, x.shape[-1])
     if pooling == "avg":
-        down = jax.lax.reduce_window(
-            probs, 0.0, jax.lax.add, (1, ph, pw, 1), (1, ph, pw, 1), "VALID"
-        ) / (ph * pw)
+        down = xg.mean(axis=(2, 4))
     else:
-        down = jax.lax.reduce_window(
-            probs, -jnp.inf, jax.lax.max, (1, ph, pw, 1), (1, ph, pw, 1), "VALID")
+        down = xg.max(axis=(2, 4))
+    if sigmoid_after_pool:
+        down = jax.nn.sigmoid(down)
     if threshold:
         down = (down > 0.5).astype(v_map.dtype)
         n_obj = down.sum(axis=(1, 2))
@@ -69,34 +81,43 @@ def masked_av_loss(
     threshold: bool = True,
     kind: str = "cosine",                         # 'cosine' | 'euclidean' | 'kl'
     closer: bool = False,
+    setting: str = "s4",                          # 's4' | 'ms3'
 ) -> jax.Array:
-    """Audio <-> masked-visual matching loss (S4 cosine flavor uses
-    thresholded masks + -log(relu(cos)); MS3 euclidean/KL flavors use soft
-    masks; `closer` swaps each target with its nearest-audio neighbor's
-    visual feature - ref: avs_ms3/loss.py:76-131)."""
+    """Audio <-> masked-visual matching loss.
+
+    * S4 cosine flavor (Loss_AVM_AV): thresholded masks + -log(relu(cos)),
+      sigmoid applied before pooling (ref: avs_s4/loss.py:30-78).
+    * MS3 euclidean/KL flavors: soft masks, raw logits pooled then sigmoided
+      (ref: avs_ms3/loss.py:23-76).
+    * `closer` (Loss_AVM_VV, ref: avs_ms3/loss.py:79-131): audio only selects
+      the nearest-neighbor indices; the distance/KL term compares each masked
+      visual feature v against v[idxs], NOT against the audio feature.
+    """
     total = 0.0
+    sigmoid_after_pool = setting == "ms3"
     for stage in count_stages:
         a = a_fea_list[stage].reshape(-1, a_fea_list[stage].shape[-1])  # (BT, C)
         v = _masked_visual_feature(pred_logits, v_map_list[stage], pooling,
-                                   threshold and kind == "cosine")
+                                   threshold and kind == "cosine" and not closer,
+                                   sigmoid_after_pool)
         if norm_fea:
             a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
         if closer:
             dists = jnp.linalg.norm(a[:, None] - a[None, :], axis=-1)
             dists = dists + 10.0 * jnp.eye(a.shape[0])
             idxs = jnp.argmin(dists, axis=0)
-        if norm_fea:
-            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
-        if closer:
-            v = v[idxs]
+            target = v[idxs]   # nearest-audio neighbor's VISUAL feature
+        else:
+            target = a
         if kind == "cosine":
-            cos = jnp.sum(v * a, axis=-1)
+            cos = jnp.sum(v * target, axis=-1)
             total += (-jnp.log(jax.nn.relu(cos) + 1e-6)).mean()
         elif kind == "euclidean":
-            total += jnp.linalg.norm(a - v, axis=-1).mean()
+            total += jnp.linalg.norm(target - v, axis=-1).mean()
         elif kind == "kl":
             p = jax.nn.softmax(v, axis=-1)
-            q = jax.nn.softmax(a, axis=-1)
+            q = jax.nn.softmax(target, axis=-1)
             total += jnp.sum(q * (jnp.log(q + 1e-12) - jnp.log(p + 1e-12)))
         else:
             raise ValueError(kind)
@@ -128,7 +149,8 @@ def iou_semantic_aware_loss(
     aux = {"iou_loss": iou}
     if sa_loss_flag and lambda_1 > 0 and count_stages:
         sa = masked_av_loss(pred_logits, a_fea_list, v_map_list, count_stages,
-                            pooling=pooling, kind=kind, closer=closer)
+                            pooling=pooling, kind=kind, closer=closer,
+                            setting=setting)
         total = total + lambda_1 * sa
         aux["sa_loss"] = sa
     return total, aux

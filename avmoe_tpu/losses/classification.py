@@ -31,21 +31,24 @@ def label_smoothed_bce(probs: jax.Array, targets: jax.Array, smooth: float) -> j
 
 
 def asymmetric_loss(
-    logits: jax.Array,
+    probs: jax.Array,
     targets: jax.Array,
     gamma_neg: float = 4.0,
-    gamma_pos: float = 0.0,
+    gamma_pos: float = 1.0,
     clip: float = 0.05,
     eps: float = 1e-8,
 ) -> jax.Array:
     """Asymmetric multi-label loss (ref: AVMOE/AVE/nets/utils.py:25-72,
-    Ben-Baruch et al.): negative probabilities are margin-shifted by `clip`
-    and down-weighted with a higher focusing exponent."""
-    p = jax.nn.sigmoid(logits)
-    p_neg = jnp.clip(1.0 - p + clip, a_max=1.0)
-    loss_pos = targets * jnp.log(jnp.clip(p, eps, 1.0))
-    loss_neg = (1.0 - targets) * jnp.log(jnp.clip(p_neg, eps, 1.0))
-    pt = p * targets + (1.0 - p) * (1.0 - targets)
+    Ben-Baruch et al.). Takes PROBABILITIES (the reference comments out its
+    own sigmoid). Negative probabilities are margin-shifted by `clip` and
+    down-weighted with a higher focusing exponent; the focal weight is
+    computed with the clip-shifted negative probability and does not carry
+    gradients (reference wraps it in torch.set_grad_enabled(False))."""
+    p = probs
+    p_neg = jnp.clip(1.0 - p + clip, max=1.0)
+    loss_pos = targets * jnp.log(jnp.clip(p, min=eps))
+    loss_neg = (1.0 - targets) * jnp.log(jnp.clip(p_neg, min=eps))
+    pt = p * targets + p_neg * (1.0 - targets)
     gamma = gamma_pos * targets + gamma_neg * (1.0 - targets)
-    focus = jnp.power(jnp.clip(1.0 - pt, 0.0, 1.0), gamma)
-    return -(focus * (loss_pos + loss_neg)).sum()
+    focus = jax.lax.stop_gradient(jnp.power(1.0 - pt, gamma))
+    return -(focus * (loss_pos + loss_neg)).mean()

@@ -280,8 +280,14 @@ class MoEAdapter(nn.Module):
             "expert_index": jnp.argmax(probs, axis=-1),   # (B,)
         }
         if self.cfg.load_balance_loss:
-            # KL(uniform || mean gate probs) with batchmean reduction, matching
-            # F.kl_div(mean_p.log(), uniform, 'batchmean') (ref: mgn.py:218-224)
+            # KL(uniform || mean gate probs) with batchmean reduction.
+            # DELIBERATE deviation from the reference: its
+            # compute_load_balancing_loss (ref: mgn.py:213-224) keeps mean_p
+            # as shape (1, E), so its `uniform = 1/size(0)` is 1.0 and
+            # 'batchmean' divides by 1 - the reference effectively computes
+            # -sum(log mean_p), not a KL. We keep the corrected KL (the
+            # intended regularizer); loss MAGNITUDES therefore won't match
+            # reference runs at the same lb weight.
             E = self.cfg.num_experts
             mean_p = jnp.clip(probs.mean(axis=0), 1e-9, 1.0)  # (E,)
             u = 1.0 / E
