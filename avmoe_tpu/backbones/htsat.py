@@ -26,6 +26,7 @@ from flax import linen as nn
 from avmoe_tpu.audio import frontend as fe
 from avmoe_tpu.backbones.geometry import BlockSpec, stage_boundaries, swin_stage_specs
 from avmoe_tpu.config import HTSATConfig
+from avmoe_tpu.ops.norm import LayerNorm
 from avmoe_tpu.ops.swin import PatchEmbed, PatchMergingV1, SwinBlock
 
 
@@ -95,7 +96,7 @@ class HTSATEncoder(nn.Module):
             )
             for i in range(n_stages - 1)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm = LayerNorm(epsilon=1e-5, dtype=self.dtype)
         if c.ape:
             self.absolute_pos_embed = self.param(
                 "absolute_pos_embed",

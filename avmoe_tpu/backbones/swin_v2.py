@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from avmoe_tpu.backbones.geometry import BlockSpec, stage_boundaries, swin_stage_specs
 from avmoe_tpu.config import SwinV2Config
+from avmoe_tpu.ops.norm import LayerNorm
 from avmoe_tpu.ops.swin import PatchEmbed, PatchMergingV2, SwinBlock
 
 
@@ -82,7 +83,7 @@ class SwinV2Encoder(nn.Module):
             )
             for i in range(len(c.depths) - 1)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm = LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
     def embed(self, images: jax.Array) -> jax.Array:
         """(B, H, W, 3) images -> (B, N0, embed_dim) tokens."""

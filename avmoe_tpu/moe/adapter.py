@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from avmoe_tpu.config import AdapterConfig, MoEConfig
+from avmoe_tpu.ops.norm import BatchNorm, LayerNorm
+from avmoe_tpu.ops.swin import bf16_attention_logits
 
 
 class GroupedDense(nn.Module):
@@ -67,12 +69,12 @@ class _Bottleneck(nn.Module):
         hidden = max(self.dim // self.cfg.downsample, self.cfg.num_conv_group)
         z = GroupedDense(hidden, self.cfg.num_conv_group, dtype=self.dtype, name="down")(x)
         if self.cfg.use_bn:
-            z = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(z)
+            z = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(z)
         if self.use_activation:
             z = nn.relu(z)
         out = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype, name="up")(z)
         if self.cfg.use_bn:
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
+            out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
         return out
 
 
@@ -91,28 +93,29 @@ class CrossModalExpert(nn.Module):
         tokens = self.param("latent_tokens", nn.initializers.uniform(1.0), (T, C))
         gate_av = self.param("gate_av", nn.initializers.zeros, (1,))
 
+        pet = self.dtype if bf16_attention_logits() else jnp.float32
         rep = jnp.broadcast_to(tokens[None], (B, T, C)).astype(self.dtype)
         # latent tokens <- other modality
         att_o2t = jax.nn.softmax(
             jnp.einsum("btc,bmc->btm", rep, other.astype(self.dtype),
-                       preferred_element_type=jnp.float32),
+                       preferred_element_type=pet),
             axis=-1,
         ).astype(self.dtype)
         rep = rep + jnp.einsum("btm,bmc->btc", att_o2t, other.astype(self.dtype))
         # x <- latent tokens
         att_t2x = jax.nn.softmax(
             jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
-                       preferred_element_type=jnp.float32),
+                       preferred_element_type=pet),
             axis=-1,
         ).astype(self.dtype)
         x = x + gate_av.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
 
         if self.cfg.before_layernorm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
+            x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=True, dtype=self.dtype,
                           name="bottleneck")(x, train=train)
         if self.cfg.post_layernorm:
-            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
+            out = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
         if self.cfg.use_gate:
             out = self.param("gate", nn.initializers.zeros, (1,)).astype(self.dtype) * out
         return out
@@ -140,7 +143,8 @@ class UnimodalExpert(nn.Module):
             gate_av = self.param("gate_av", nn.initializers.zeros, (1,))
             att = jax.nn.softmax(
                 jnp.einsum("bic,bjc->bij", x.astype(self.dtype), x.astype(self.dtype),
-                           preferred_element_type=jnp.float32),
+                           preferred_element_type=(
+                               self.dtype if bf16_attention_logits() else jnp.float32)),
                 axis=-1,
             ).astype(self.dtype)
             x = x + gate_av.astype(self.dtype) * jnp.einsum("bij,bic->bjc", att, x)
@@ -153,22 +157,23 @@ class UnimodalExpert(nn.Module):
             tokens = self.param("latent_tokens", nn.initializers.uniform(1.0), (T, C))
             gate_self = self.param("gate_self", nn.initializers.zeros, (1,))
             rep = jnp.broadcast_to(tokens[None], (B, T, C)).astype(self.dtype)
+            pet = self.dtype if bf16_attention_logits() else jnp.float32
             att_x2t = jax.nn.softmax(
                 jnp.einsum("btc,bnc->btn", rep, x.astype(self.dtype),
-                           preferred_element_type=jnp.float32), axis=-1
+                           preferred_element_type=pet), axis=-1
             ).astype(self.dtype)
             rep = rep + jnp.einsum("btn,bnc->btc", att_x2t, x.astype(self.dtype))
             att_t2x = jax.nn.softmax(
                 jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
-                           preferred_element_type=jnp.float32), axis=-1
+                           preferred_element_type=pet), axis=-1
             ).astype(self.dtype)
             x = x + gate_self.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
         if self.cfg.before_layernorm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
+            x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
         out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
                           name="bottleneck")(x, train=train)
         if self.cfg.post_layernorm:
-            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
+            out = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
         if self.cfg.use_gate:
             out = self.param("gate", nn.initializers.zeros, (1,)).astype(self.dtype) * out
         return out

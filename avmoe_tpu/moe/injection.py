@@ -216,6 +216,45 @@ class LockstepEncoder(nn.Module):
                 lb_losses.append(aux["lb_loss"])
             return out, aux
 
+        # Fused Pallas block-chains (eval only): consecutive backbone blocks
+        # between adapter seams run as one VMEM-resident megakernel.
+        from avmoe_tpu.ops.pallas.fused_block import run_chain, use_fused_blocks
+
+        fused = (
+            use_fused_blocks() and not train and not self.is_initializing()
+        )
+
+        # pending runs of adapter-free visual blocks, flushed as one chain
+        v_pending: List[int] = []
+
+        def flush_v(f_v):
+            nonlocal v_pending
+            if not v_pending:
+                return f_v
+            blocks = [self.swin.blocks[i] for i in v_pending]
+            v_pending = []
+            return run_chain(blocks, f_v)
+
+        def v_block(f_v, idx):
+            if fused:
+                v_pending.append(idx)
+                return f_v
+            return self.swin.blocks[idx](f_v, train)
+
+        def v_part(f_v, idx, part):
+            """Apply one visual sub-block (attn|mlp), returning the NEW state
+            (x + residual)."""
+            if fused:
+                return run_chain([self.swin.blocks[idx]], f_v, part=part)
+            fn = (self.swin.blocks[idx].attn_residual if part == "attn"
+                  else self.swin.blocks[idx].mlp_residual)
+            return f_v + fn(f_v, train)
+
+        def a_block(f_a, idx):
+            if fused:
+                return run_chain([self.htsat.blocks[idx]], f_a)
+            return self.htsat.blocks[idx](f_a, train)
+
         for stage in range(len(self.swin_cfg.depths)):
             vlo, vhi = self.swin.stage_ranges[stage]
             alo, ahi = self.htsat.stage_ranges[stage]
@@ -224,23 +263,23 @@ class LockstepEncoder(nn.Module):
                 blk_v = self.swin.blocks[vlo + v_off]
                 blk_a = None if a_off is None else self.htsat.blocks[alo + a_off]
                 if blk_a is None:
-                    f_v = blk_v(f_v, train)
+                    f_v = v_block(f_v, vlo + v_off)
                 elif skipped:
-                    f_v = f_v + blk_v.attn_residual(f_v, train)
-                    f_a = blk_a(f_a, train)
-                    f_v = f_v + blk_v.mlp_residual(f_v, train)
+                    f_v = v_block(f_v, vlo + v_off)
+                    f_a = a_block(f_a, alo + a_off)
                 else:
+                    f_v = flush_v(f_v)
                     # --- p1: adapters on PRE-block features -------------------
                     if inj.audio_adapter_p1:
                         f_a_res, aux_a = run_adapter(self.audio_moe_p1, f_a, f_v)
                         f_v_res, aux_v = run_adapter(self.vis_moe_p1, f_v, f_a)
                         tele["audio_p1"].append(aux_a["gating_probs"])
                         tele["video_p1"].append(aux_v["gating_probs"])
-                        f_v = f_v + blk_v.attn_residual(f_v, train)
+                        f_v = v_part(f_v, vlo + v_off, "attn")
                         f_v = f_v + f_v_res
                     else:
-                        f_v = f_v + blk_v.attn_residual(f_v, train)
-                    f_a = blk_a(f_a, train)  # whole audio block between seams
+                        f_v = v_part(f_v, vlo + v_off, "attn")
+                    f_a = a_block(f_a, alo + a_off)  # whole audio block between seams
                     if inj.audio_adapter_p1:
                         f_a = f_a + f_a_res
                     # --- p2: adapters around the visual MLP sub-block ----------
@@ -249,11 +288,12 @@ class LockstepEncoder(nn.Module):
                         f_v_res2, aux_v2 = run_adapter(self.vis_moe_p2, f_v, f_a)
                         tele["audio_p2"].append(aux_a2["gating_probs"])
                         tele["video_p2"].append(aux_v2["gating_probs"])
-                    f_v = f_v + blk_v.mlp_residual(f_v, train)
+                    f_v = v_part(f_v, vlo + v_off, "mlp")
                     if inj.audio_adapter_p2:
                         f_v = f_v + f_v_res2
                         f_a = f_a + f_a_res2
                     site_idx += 1
+            f_v = flush_v(f_v)
             if collect_stages:
                 is_last = stage == len(self.swin_cfg.depths) - 1
                 stage_tokens.append(self.swin.norm(f_v) if is_last else f_v)

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from avmoe_tpu.ops.norm import LayerNorm
+
 
 # ---------------------------------------------------------------------------
 # Static host-side geometry helpers
@@ -165,7 +167,7 @@ class PatchEmbed(nn.Module):
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         if self.use_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -187,7 +189,7 @@ class PatchMergingV1(nn.Module):
         # x0=(0,0) x1=(1,0) x2=(0,1) x3=(1,1) over (row, col) offsets
         x = x.transpose(0, 1, 3, 4, 2, 5)  # B, H/2, W/2, colpar, rowpar, C
         x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
         return x
 
@@ -207,7 +209,7 @@ class PatchMergingV2(nn.Module):
         x = x.transpose(0, 1, 3, 4, 2, 5)
         x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -285,7 +287,7 @@ class WindowAttentionV1(nn.Module):
             attn = attn + bias[None].astype(pet)
             if mask is not None:
                 nW = mask.shape[0]
-                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
                 attn = attn.reshape(B_, H, N, N)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
@@ -329,10 +331,16 @@ class WindowAttentionV2(nn.Module):
         qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # cosine attention
-        q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)
-        k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        # cosine attention; the row norms are f32-accumulated reductions but
+        # q/k themselves stay in the compute dtype (a f32 divide here would
+        # materialize fp32 copies of the whole qk stream in HBM)
+        def _row_normalize(t):
+            ss = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1, keepdims=True)
+            inv = 1.0 / jnp.maximum(jnp.sqrt(ss), 1e-12)
+            return t * inv.astype(t.dtype)
+
+        q = _row_normalize(q)
+        k = _row_normalize(k)
         logit_scale = self.param(
             "logit_scale",
             lambda rng, shape: jnp.full(shape, float(np.log(10.0))),
@@ -373,7 +381,7 @@ class WindowAttentionV2(nn.Module):
             attn = attn + bias[None].astype(pet)
             if mask is not None:
                 nW = mask.shape[0]
-                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
                 attn = attn.reshape(B_, H, N, N)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
@@ -439,8 +447,8 @@ class SwinBlock(nn.Module):
                 pretrained_window=(self.pretrained_window, self.pretrained_window),
                 attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             )
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm1 = LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.mlp = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
             dropout=self.drop, dtype=self.dtype,
