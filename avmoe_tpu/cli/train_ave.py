@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from avmoe_tpu.config import AVEConfig, TrainConfig, replace, tiny_ave_config
+from avmoe_tpu.config import AVEConfig, TrainConfig, replace, tiny_ave_config, mini_ave_config
 from avmoe_tpu.data.ave import AVEDataset, SyntheticAVEDataset
 from avmoe_tpu.data.loader import BatchLoader
 from avmoe_tpu.models.ave import AVEModel, make_ave_eval_fn, make_ave_loss_fn
@@ -26,6 +26,7 @@ from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_eval_step, make_train_step
 from avmoe_tpu.checkpoint.manager import CheckpointManager
 from avmoe_tpu.telemetry.experts import ExpertUsageTracker
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
 
 
 def parse_args():
@@ -35,6 +36,8 @@ def parse_args():
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--synthetic", action="store_true", help="random AVE-shaped data")
     p.add_argument("--tiny", action="store_true", help="tiny model (CI smoke)")
+    p.add_argument("--mini", action="store_true",
+                   help="tiny dims + real dataset geometry (dress rehearsal)")
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--accum_itr", type=int, default=8)
     p.add_argument("--epochs", type=int, default=50)
@@ -53,9 +56,11 @@ def parse_args():
 
 
 def main():
+    apply_platform_override()
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
     args = parse_args()
-    cfg = tiny_ave_config() if args.tiny else AVEConfig()
+    cfg = mini_ave_config() if args.mini else tiny_ave_config() if args.tiny else AVEConfig()
     tcfg = TrainConfig(
         batch_size=args.batch_size, accum_steps=args.accum_itr, epochs=args.epochs,
         lr=args.lr, decay=args.decay, decay_epoch=args.decay_epoch,

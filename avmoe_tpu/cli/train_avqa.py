@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avmoe_tpu.checkpoint.manager import CheckpointManager
-from avmoe_tpu.config import AVQAConfig, TrainConfig, tiny_avqa_config
+from avmoe_tpu.config import AVQAConfig, TrainConfig, tiny_avqa_config, mini_avqa_config
 from avmoe_tpu.data.avqa import AVQADataset, SyntheticAVQADataset
 from avmoe_tpu.data.loader import BatchLoader
 from avmoe_tpu.metrics.avqa import AVQAAccuracy
@@ -26,6 +26,7 @@ from avmoe_tpu.telemetry.meters import AverageMeter
 from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_train_step
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
 
 log = logging.getLogger("avmoe_tpu.avqa")
 
@@ -38,6 +39,8 @@ def parse_args():
     p.add_argument("--label_val", type=str, default="json/avqa-val.json")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--mini", action="store_true",
+                   help="tiny dims + real dataset geometry (dress rehearsal)")
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--accum_itr", type=int, default=4)
     p.add_argument("--epochs", type=int, default=30)
@@ -65,10 +68,12 @@ def build_datasets(args, cfg):
 
 
 def main():
+    apply_platform_override()
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                         force=True)
     args = parse_args()
-    cfg = tiny_avqa_config() if args.tiny else AVQAConfig()
+    cfg = mini_avqa_config() if args.mini else tiny_avqa_config() if args.tiny else AVQAConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum_itr,
                        epochs=args.epochs, lr=args.lr, seed=args.seed)
     train_ds, val_ds = build_datasets(args, cfg)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avmoe_tpu.checkpoint.manager import CheckpointManager
-from avmoe_tpu.config import AVSConfig, TrainConfig, replace, tiny_avs_config
+from avmoe_tpu.config import AVSConfig, TrainConfig, replace, tiny_avs_config, mini_avs_config
 from avmoe_tpu.data.avs import MS3Dataset, S4Dataset, SyntheticAVSDataset
 from avmoe_tpu.data.loader import BatchLoader
 from avmoe_tpu.metrics.avs import eval_fmeasure, mask_iou
@@ -23,6 +23,7 @@ from avmoe_tpu.telemetry.meters import AverageMeter
 from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_train_step
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
 
 log = logging.getLogger("avmoe_tpu.avs")
 
@@ -37,6 +38,8 @@ def parse_args():
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--mini", action="store_true",
+                   help="tiny dims + real dataset geometry (dress rehearsal)")
     p.add_argument("--train_batch_size", type=int, default=2)
     p.add_argument("--accum_itr", type=int, default=4)
     p.add_argument("--max_epoches", type=int, default=50)
@@ -56,10 +59,12 @@ def parse_args():
 
 
 def main():
+    apply_platform_override()
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                         force=True)
     args = parse_args()
-    cfg = tiny_avs_config() if args.tiny else AVSConfig()
+    cfg = mini_avs_config() if args.mini else tiny_avs_config() if args.tiny else AVSConfig()
     cfg = replace(cfg, setting=args.setting,
                   tpavi_stages=tuple(args.tpavi_stages),
                   sa_loss_flag=args.sa_loss_flag, lambda_1=args.lambda_1,

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avmoe_tpu.checkpoint.manager import CheckpointManager
-from avmoe_tpu.config import AVVPConfig, TrainConfig, tiny_avvp_config
+from avmoe_tpu.config import AVVPConfig, TrainConfig, tiny_avvp_config, mini_avvp_config
 from avmoe_tpu.data.avvp import LLPDataset, SyntheticAVVPDataset, parse_eval_annotations
 from avmoe_tpu.data.loader import BatchLoader
 from avmoe_tpu.metrics.avvp import AVVPEvaluator
@@ -25,6 +25,7 @@ from avmoe_tpu.telemetry.meters import AverageMeter
 from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_train_step
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
 
 log = logging.getLogger("avmoe_tpu.avvp")
 
@@ -39,6 +40,8 @@ def parse_args():
     p.add_argument("--eval_visual_csv", type=str, default="data/AVVP/AVVP_eval_visual.csv")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--mini", action="store_true",
+                   help="tiny dims + real dataset geometry (dress rehearsal)")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--accum_itr", type=int, default=8)
     p.add_argument("--epochs", type=int, default=40)
@@ -71,9 +74,11 @@ def evaluate(model, state, loader, gt_audio, gt_visual, num_segments=10) -> dict
 
 
 def main():
+    apply_platform_override()
+    enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
     args = parse_args()
-    cfg = tiny_avvp_config() if args.tiny else AVVPConfig()
+    cfg = mini_avvp_config() if args.mini else tiny_avvp_config() if args.tiny else AVVPConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum_itr,
                        epochs=args.epochs, lr=args.lr, seed=args.seed)
 

@@ -408,3 +408,52 @@ def tiny_ave_config() -> AVEConfig:
 def replace(cfg, **kwargs):
     """Functional config update."""
     return dataclasses.replace(cfg, **kwargs)
+
+
+# --- "mini" configs: tiny model dims, REAL dataset geometry ------------------
+# Dress-rehearsal configs: same miniature dims as the tiny_* configs but with
+# the reference datasets' true clip geometry (10x1s segments @ 32 kHz for
+# AVE/AVVP/AVQA, 5 segments for AVS), so the CLIs can be driven end-to-end
+# from on-disk data in the exact reference formats (tools/make_mini_datasets).
+
+
+def _mini_frontend() -> AudioFrontendConfig:
+    # 32k samples / hop 1000 = the same 32-frame x 16-mel spectrogram
+    # geometry as _tiny_frontend, so tiny_htsat() is reused unchanged.
+    return AudioFrontendConfig(
+        sample_rate=32000, n_fft=1024, hop_length=1000, win_length=1024,
+        n_mels=16, fmin=50.0, fmax=14000.0,
+        time_drop_width=8, time_stripes_num=2, freq_drop_width=2,
+        freq_stripes_num=2,
+    )
+
+
+def _mini_htsat() -> HTSATConfig:
+    return dataclasses.replace(tiny_htsat(), frontend=_mini_frontend())
+
+
+def mini_ave_config() -> AVEConfig:
+    return dataclasses.replace(
+        tiny_ave_config(), num_segments=10, audio_len=32000,
+        htsat=_mini_htsat())
+
+
+def mini_avvp_config() -> "AVVPConfig":
+    return dataclasses.replace(
+        tiny_avvp_config(), num_segments=10, audio_len=32000,
+        htsat=_mini_htsat())
+
+
+def mini_avqa_config() -> "AVQAConfig":
+    # vocab sizes sized for the miniature MUSIC-AVQA json; max_qst_len is the
+    # reader's fixed pad length (data/avqa.py MAX_QST_LEN)
+    return dataclasses.replace(
+        tiny_avqa_config(), num_segments=10, audio_len=32000,
+        max_qst_len=14, qst_vocab=64, answer_vocab=6,
+        htsat=_mini_htsat())
+
+
+def mini_avs_config() -> "AVSConfig":
+    return dataclasses.replace(
+        tiny_avs_config(), num_segments=5, audio_len=32000,
+        htsat=_mini_htsat())

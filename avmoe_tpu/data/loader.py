@@ -27,7 +27,15 @@ class BatchLoader:
         prefetch: int = 2,
         seed: int = 0,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the GLOBAL batch. With process_count > 1 (multi-host
+        training), every host builds the same seeded global permutation but
+        collates only its contiguous 1/process_count slice of each batch;
+        pair with `parallel.mesh.shard_batch_per_host` to assemble the global
+        jax.Array from the per-host shards."""
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,6 +44,8 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.device_put = device_put
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -47,7 +57,13 @@ class BatchLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + self._epoch).shuffle(idx)
         nb = len(self)
-        return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        batches = [idx[i * self.batch_size: (i + 1) * self.batch_size]
+                   for i in range(nb)]
+        if self.process_count > 1:
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            batches = [b[lo: lo + local] for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         self._epoch += 1

@@ -54,3 +54,22 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a batch pytree with the leading axis sharded over 'data'."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_batch_per_host(batch: Any, mesh: Mesh) -> Any:
+    """Multi-host batch assembly: each process holds only its LOCAL slice of
+    the global batch (see data.loader.BatchLoader process_index/count); this
+    builds the global dp-sharded jax.Array without any cross-host gather —
+    every host's shard lands directly on its own devices.
+
+    On a single-host mesh this degenerates to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)

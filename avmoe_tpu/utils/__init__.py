@@ -1,3 +1,7 @@
-from avmoe_tpu.utils.runtime import enable_compilation_cache, count_params
+from avmoe_tpu.utils.runtime import (
+    apply_platform_override,
+    count_params,
+    enable_compilation_cache,
+)
 
-__all__ = ["enable_compilation_cache", "count_params"]
+__all__ = ["apply_platform_override", "enable_compilation_cache", "count_params"]

@@ -9,6 +9,18 @@ from typing import Optional
 import jax
 
 
+def apply_platform_override() -> None:
+    """Honor AVMOE_PLATFORM=cpu|tpu before any device use.
+
+    The host's sitecustomize registers the axon TPU plugin in every python
+    process and overrides JAX_PLATFORMS from the environment, so the only
+    reliable way to force CPU (e.g. for dress-rehearsal CLI runs) is
+    jax.config.update inside the process. Called at the top of every CLI."""
+    plat = os.environ.get("AVMOE_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compilation_cache(directory: Optional[str] = None) -> None:
     """Persistent XLA compilation cache (first compile is 20-40s on TPU;
     cached reloads are near-instant)."""
