@@ -51,10 +51,13 @@ class SwinV2Encoder(nn.Module):
         )
         block_cls = SwinBlock
         if c.remat:
+            from avmoe_tpu.utils.runtime import remat_policy
+
             # rematerialize both sub-block seams and the full call; `train`
             # (arg index 2, counting self) is static
             block_cls = nn.remat(
                 SwinBlock, static_argnums=(2,),
+                policy=remat_policy(c.remat_policy),
                 methods=["__call__", "attn_residual", "mlp_residual"])
         self.blocks = [
             block_cls(

@@ -21,6 +21,7 @@ from avmoe_tpu.data.loader import BatchLoader
 from avmoe_tpu.metrics.avvp import AVVPEvaluator
 from avmoe_tpu.models.avvp import MGNModel, make_avvp_loss_fn
 from avmoe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from avmoe_tpu.telemetry.experts import ExpertUsageTracker
 from avmoe_tpu.telemetry.meters import AverageMeter
 from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
@@ -52,7 +53,8 @@ def parse_args():
     return p.parse_args()
 
 
-def evaluate(model, state, loader, gt_audio, gt_visual, num_segments=10) -> dict:
+def evaluate(model, state, loader, gt_audio, gt_visual, num_segments=10,
+             tracker: ExpertUsageTracker | None = None) -> dict:
     """Run the F1 suite over a loader; gt_* map clip_index -> (25,10) grids."""
     variables = {"params": merge_params(state.trainable, state.frozen),
                  "batch_stats": state.batch_stats}
@@ -60,11 +62,15 @@ def evaluate(model, state, loader, gt_audio, gt_visual, num_segments=10) -> dict
     @jax.jit
     def fwd(variables, wave, images, video_st):
         out = model.apply(variables, wave, images, video_st, train=False)
-        return out["global_prob"], out["a_frame_prob"], out["v_frame_prob"]
+        return (out["global_prob"], out["a_frame_prob"], out["v_frame_prob"],
+                out["telemetry"])
 
     evaluator = AVVPEvaluator()
     for batch in loader:
-        gp, ap, vp = fwd(variables, batch["wave"], batch["images"], batch["video_st"])
+        gp, ap, vp, telemetry = fwd(
+            variables, batch["wave"], batch["images"], batch["video_st"])
+        if tracker is not None:
+            tracker.update(telemetry)
         gp, ap, vp = np.asarray(gp), np.asarray(ap), np.asarray(vp)
         for i, clip in enumerate(np.asarray(batch["clip_index"])):
             ga = gt_audio.get(int(clip), np.zeros((25, num_segments), np.int64))
@@ -134,10 +140,13 @@ def main():
     state = replicate(state, mesh)
     train_step = make_train_step(make_avvp_loss_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)
+    tracker = ExpertUsageTracker(cfg.moe.num_experts)
 
     if args.mode == "test":
         state = ckpts.restore(state, params_only=True)
-        summary = evaluate(model, state, val_loader, gt_audio, gt_visual, cfg.num_segments)
+        summary = evaluate(model, state, val_loader, gt_audio, gt_visual,
+                           cfg.num_segments, tracker=tracker)
+        tracker.save(args.model_save_dir)
         log.info("test F1 suite: %s", {k: round(v, 2) for k, v in summary.items()})
         return
 
@@ -149,7 +158,9 @@ def main():
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             meter.add(loss=float(metrics["loss"]))
-        summary = evaluate(model, state, val_loader, gt_audio, gt_visual, cfg.num_segments)
+        tracker.reset()
+        summary = evaluate(model, state, val_loader, gt_audio, gt_visual,
+                           cfg.num_segments, tracker=tracker)
         val = summary["seg_type_avg"]
         log.info("epoch %d: loss %.4f seg Type@Avg %.2f Event@Avg %.2f "
                  "event Type@Avg %.2f", epoch, meter.get("loss"), val,
@@ -157,6 +168,7 @@ def main():
         if val >= best:
             best = val
             ckpts.save_if_best(int(state.step), state, val)
+    tracker.save(args.model_save_dir)
     log.info("best seg Type@Avg: %.2f", best)
 
 

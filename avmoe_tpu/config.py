@@ -68,6 +68,10 @@ class HTSATConfig:
     ape: bool = False
     patch_norm: bool = True
     remat: bool = False    # rematerialize blocks (memory for compute)
+    # remat policy: 'full' recomputes everything; 'dots' saves matmul outputs
+    # (checkpoint_dots_with_no_batch_dims) so backward skips the GEMM
+    # recompute and only redoes the cheap elementwise ops
+    remat_policy: str = "full"
     frontend: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
 
     @property
@@ -101,6 +105,7 @@ class SwinV2Config:
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
     remat: bool = False    # rematerialize blocks (memory for compute)
+    remat_policy: str = "full"  # 'full' | 'dots' (see HTSATConfig.remat_policy)
     pretrained_window_sizes: Tuple[int, ...] = (12, 12, 12, 6)
 
     @property

@@ -4,6 +4,7 @@ from avmoe_tpu.losses.classification import (
     label_smoothed_bce,
 )
 from avmoe_tpu.losses.ave import ave_labels, ave_loss
+from avmoe_tpu.losses.yb import yb_loss, yb_loss2
 
 __all__ = [
     "binary_cross_entropy_with_logits",
@@ -11,4 +12,6 @@ __all__ = [
     "label_smoothed_bce",
     "ave_labels",
     "ave_loss",
+    "yb_loss",
+    "yb_loss2",
 ]

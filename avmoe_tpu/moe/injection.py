@@ -131,8 +131,12 @@ class LockstepEncoder(nn.Module):
 
         adapter_cls = MoEAdapter
         if self.swin_cfg.remat:
+            from avmoe_tpu.utils.runtime import remat_policy
+
             # rematerialize adapters together with the backbone blocks
-            adapter_cls = nn.remat(MoEAdapter, static_argnums=(3,))
+            adapter_cls = nn.remat(
+                MoEAdapter, static_argnums=(3,),
+                policy=remat_policy(self.swin_cfg.remat_policy))
 
         def make_adapters(prefix: str, audio_side: bool):
             return [

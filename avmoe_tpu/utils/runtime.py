@@ -64,3 +64,23 @@ def profiler_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def remat_policy(name: str):
+    """Resolve a config remat_policy string to a jax.checkpoint policy.
+
+    'full' -> None (recompute everything; minimum memory)
+    'dots' -> checkpoint_dots_with_no_batch_dims: save non-batched matmul
+              outputs so backward skips GEMM recompute (the right trade for
+              the frozen-backbone residual stream, where elementwise ops are
+              cheap to redo but the window-attention GEMM chain is not)
+    """
+    import jax
+
+    if name in (None, "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    if name == "dots_batch":
+        return jax.checkpoint_policies.checkpoint_dots
+    raise ValueError(f"unknown remat policy {name!r}")

@@ -3,15 +3,19 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avmoe_tpu.config import replace, tiny_ave_config
 from avmoe_tpu.models.ave import AVEModel, make_ave_loss_fn
 
 
-def test_remat_forward_matches_and_grads_flow():
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_remat_forward_matches_and_grads_flow(policy):
     cfg = tiny_ave_config()
-    cfg_r = replace(cfg, swin=replace(cfg.swin, remat=True),
-                    htsat=replace(cfg.htsat, remat=True))
+    cfg_r = replace(
+        cfg,
+        swin=replace(cfg.swin, remat=True, remat_policy=policy),
+        htsat=replace(cfg.htsat, remat=True, remat_policy=policy))
     B, T = 1, cfg.num_segments
     rng = np.random.RandomState(0)
     wave = jnp.asarray(rng.randn(B, T, cfg.audio_len).astype(np.float32) * 0.1)

@@ -60,6 +60,10 @@ def main():
     env = dict(os.environ)
     if not args.tpu:
         env["AVMOE_PLATFORM"] = "cpu"
+        # don't let the sitecustomize claim the (single-client) TPU tunnel
+        # from CPU-only subprocesses - it starves concurrent TPU jobs
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("PYTHONPATH", REPO)
 
     if not os.path.isdir(os.path.join(args.root, "AVE")):
