@@ -86,7 +86,7 @@ def main():
 
     train_loader = collate_keep_types(train_ds, shuffle=True,
                                       num_workers=args.num_workers, seed=tcfg.seed)
-    val_loader = collate_keep_types(val_ds, shuffle=False,
+    val_loader = collate_keep_types(val_ds, shuffle=False, drop_last=False,
                                     num_workers=args.num_workers)
 
     if args.stage == "grounding":

@@ -92,6 +92,7 @@ def main():
                                num_workers=args.num_workers, seed=tcfg.seed,
                                device_put=put)
     val_loader = BatchLoader(val_ds, tcfg.batch_size, shuffle=False,
+                             drop_last=False,  # eval covers every sample
                              num_workers=args.num_workers, device_put=put)
 
     model = AVSModel(cfg, dtype=jnp.bfloat16)

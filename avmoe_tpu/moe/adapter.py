@@ -39,13 +39,16 @@ class GroupedDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, kernel_only: bool = False):
         in_dim = x.shape[-1]
         g = self.num_groups
         assert in_dim % g == 0 and self.features % g == 0, (in_dim, self.features, g)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (g, in_dim // g, self.features // g)
         )
+        if kernel_only:
+            # fused-combine support: caller folds this (g, i, o) kernel itself
+            return kernel
         xg = x.reshape(x.shape[:-1] + (g, in_dim // g))
         out = jnp.einsum("...gi,gio->...go", xg.astype(self.dtype), kernel.astype(self.dtype))
         out = out.reshape(x.shape[:-1] + (self.features,))
@@ -65,14 +68,30 @@ class _Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, split_tail: bool = False):
         hidden = max(self.dim // self.cfg.downsample, self.cfg.num_conv_group)
         z = GroupedDense(hidden, self.cfg.num_conv_group, dtype=self.dtype, name="down")(x)
         if self.cfg.use_bn:
             z = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(z)
         if self.use_activation:
             z = nn.relu(z)
-        out = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype, name="up")(z)
+        up = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype, name="up")
+        if split_tail:
+            # fused gated combine (eval): hand back the bottleneck activations
+            # plus the tail's folded affine terms; MoEAdapter contracts the up
+            # projection against the gate-weighted z in ONE grouped GEMM
+            # instead of materializing E stream-sized expert outputs.
+            assert not train
+            up_kernel = up(z, kernel_only=True)          # (g, h/g, C/g)
+            if self.cfg.use_bn:
+                bn2_w, bn2_b = BatchNorm(
+                    use_running_average=True, momentum=0.9, dtype=self.dtype,
+                    name="bn2")(jnp.zeros((1, self.dim), self.dtype), affine_only=True)
+            else:
+                bn2_w = jnp.ones((self.dim,), jnp.float32)
+                bn2_b = jnp.zeros((self.dim,), jnp.float32)
+            return z, (up_kernel, bn2_w, bn2_b)
+        out = up(z)
         if self.cfg.use_bn:
             out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
         return out
@@ -87,7 +106,8 @@ class CrossModalExpert(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, other: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, other: jax.Array, train: bool = False,
+                 split_tail: bool = False) -> jax.Array:
         B, N, C = x.shape
         T = self.cfg.num_tokens
         tokens = self.param("latent_tokens", nn.initializers.uniform(1.0), (T, C))
@@ -112,8 +132,12 @@ class CrossModalExpert(nn.Module):
 
         if self.cfg.before_layernorm:
             x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
-        out = _Bottleneck(self.dim, self.cfg, use_activation=True, dtype=self.dtype,
-                          name="bottleneck")(x, train=train)
+        bottleneck = _Bottleneck(self.dim, self.cfg, use_activation=True,
+                                 dtype=self.dtype, name="bottleneck")
+        if split_tail:
+            z, tail = bottleneck(x, train=train, split_tail=True)
+            return _tail_dict(self, z, tail, self.dim, self.dtype)
+        out = bottleneck(x, train=train)
         if self.cfg.post_layernorm:
             out = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
         if self.cfg.use_gate:
@@ -130,7 +154,8 @@ class UnimodalExpert(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, other: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, other: jax.Array, train: bool = False,
+                 split_tail: bool = False) -> jax.Array:
         del other  # unimodal: the other modality is ignored
         if self.cfg.self_attention == "mha":
             x = nn.MultiHeadDotProductAttention(
@@ -170,13 +195,105 @@ class UnimodalExpert(nn.Module):
             x = x + gate_self.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
         if self.cfg.before_layernorm:
             x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
-        out = _Bottleneck(self.dim, self.cfg, use_activation=False, dtype=self.dtype,
-                          name="bottleneck")(x, train=train)
+        bottleneck = _Bottleneck(self.dim, self.cfg, use_activation=False,
+                                 dtype=self.dtype, name="bottleneck")
+        if split_tail:
+            z, tail = bottleneck(x, train=train, split_tail=True)
+            return _tail_dict(self, z, tail, self.dim, self.dtype)
+        out = bottleneck(x, train=train)
         if self.cfg.post_layernorm:
             out = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
         if self.cfg.use_gate:
             out = self.param("gate", nn.initializers.zeros, (1,)).astype(self.dtype) * out
         return out
+
+
+def _tail_dict(module, z, tail, dim: int, dtype) -> dict:
+    """Assemble the split-tail payload of one expert: bottleneck activations
+    plus the folded tail affine params (identity-filled for disabled flags) so
+    the vmapped call stacks everything along the expert axis."""
+    up_kernel, bn2_w, bn2_b = tail
+    if module.cfg.post_layernorm:
+        lnp_scale, lnp_bias = LayerNorm(
+            epsilon=1e-5, dtype=dtype, name="ln_post")(
+            jnp.zeros((1, dim), dtype), params_only=True)
+    else:
+        lnp_scale = jnp.ones((dim,), jnp.float32)
+        lnp_bias = jnp.zeros((dim,), jnp.float32)
+    gate = (module.param("gate", nn.initializers.zeros, (1,))
+            if module.cfg.use_gate else jnp.ones((1,), jnp.float32))
+    return {"z": z, "up_kernel": up_kernel, "bn2_w": bn2_w, "bn2_b": bn2_b,
+            "lnp_scale": lnp_scale, "lnp_bias": lnp_bias, "gate": gate}
+
+
+def fused_gated_combine(t: dict, probs: jax.Array, *, post_layernorm: bool,
+                        eps: float = 1e-5, dtype=jnp.bfloat16) -> jax.Array:
+    """Gate-weighted expert mixture contracted at BOTTLENECK rank (eval path).
+
+    Computes exactly  sum_e p_be * gate_e * ln_post_e(bn2_e(z_e @ U_e))  without
+    ever materializing the (E, B, N, C) per-expert up-projections in HBM:
+    bn2 (running-stats affine) folds into the up kernel, ln_post row stats come
+    from closed-form moments of the affine output (cheap bottleneck-rank
+    quadratic forms), and the final mixture is ONE grouped GEMM over the
+    (expert x bottleneck) axis plus rank-E epilogue terms.
+
+    t: stacked split-tail payload - z (E,B,N,h), up_kernel (E,g,i,o) with
+    h = g*i and C = g*o, bn2_w/b (E,C), lnp_scale/bias (E,C), gate (E,1).
+    probs: (B, E) router gates.
+    """
+    z = t["z"].astype(jnp.float32)                     # (E, B, N, h)
+    U = t["up_kernel"].astype(jnp.float32)             # (E, g, i, o)
+    E, B, N, h = z.shape
+    _, g, i, o = U.shape
+    C = g * o
+    w2 = t["bn2_w"].reshape(E, g, o)                   # bn2 scale (f32)
+    b2 = t["bn2_b"]                                    # (E, C) f32
+    gp = t["lnp_scale"].reshape(E, g, o)
+    bp = t["lnp_bias"]                                 # (E, C)
+    ga = t["gate"].reshape(E)                          # (E,)
+    pe = probs.astype(jnp.float32) * ga[None, :]       # (B, E) p*gate
+    zg = z.reshape(E, B, N, g, i)
+
+    Uw = U * w2[:, :, None, :]                         # bn2-folded kernel
+    if not post_layernorm:
+        # out = sum_e p_e ga_e [ (z U) w2 + b2 ]
+        zw = zg * pe.T[:, :, None, None, None]         # (E,B,N,g,i)
+        out = jnp.einsum("ebngi,egio->bngo", zw.astype(dtype),
+                         Uw.astype(dtype)).reshape(B, N, C)
+        out = out + (pe @ b2)[:, None, :].astype(dtype)
+        return out.astype(dtype)
+
+    # closed-form ln_post row stats of o_e = (z U) w2 + b2
+    Usum = Uw.sum(axis=3)                              # (E, g, i)
+    mu = (jnp.einsum("ebngi,egi->ebn", zg, Usum)
+          + b2.sum(-1)[:, None, None]) / C             # (E, B, N)
+    # sum_c o^2 via per-group quadratic forms
+    Q = jnp.einsum("egio,egjo->egij", Uw, Uw)          # (E, g, i, i)
+    quad = jnp.einsum("ebngi,egij,ebngj->ebn", zg, Q, zg)
+    Ub2 = jnp.einsum("egio,ego->egi", Uw, b2.reshape(E, g, o))
+    cross = 2.0 * jnp.einsum("ebngi,egi->ebn", zg, Ub2)
+    sq = (quad + cross + jnp.square(b2).sum(-1)[:, None, None]) / C
+    var = jnp.maximum(sq - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + eps)                     # (E, B, N)
+
+    a = pe.T[:, :, None] * inv                         # (E, B, N)
+    Ug = Uw * gp[:, :, None, :]                        # fold lnp scale
+    zw = zg * a[:, :, :, None, None]
+    out = jnp.einsum("ebngi,egio->bngo", zw.astype(dtype),
+                     Ug.astype(dtype)).reshape(B, N, C)
+    b2g = (b2.reshape(E, g, o) * gp).reshape(E, C)     # bn2 bias thru lnp scale
+    out = out + jnp.einsum("ebn,ec->bnc", a, b2g).astype(dtype)
+    out = out - jnp.einsum("ebn,ec->bnc", a * mu,
+                           gp.reshape(E, C)).astype(dtype)
+    out = out + (pe @ bp)[:, None, :].astype(dtype)
+    return out.astype(dtype)
+
+
+def use_fused_moe() -> bool:
+    """Eval-time fused expert combine (env AVMOE_FUSED_MOE=1; bench default)."""
+    import os
+
+    return os.environ.get("AVMOE_FUSED_MOE", "0") == "1"
 
 
 def _vmap_experts(module_cls, num: int, **kwargs):
@@ -262,6 +379,7 @@ class MoEAdapter(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)
 
         # --- dense expert mixture -------------------------------------------
+        fused = use_fused_moe() and not train and not self.is_initializing()
         outs = []
         if self.cfg.num_multimodal_experts > 0:
             mm = _vmap_experts(
@@ -269,16 +387,23 @@ class MoEAdapter(nn.Module):
                 dim=self.dim, cfg=self.cfg.adapter, dtype=self.dtype,
                 name="multimodal_experts",
             )
-            outs.append(mm(x, other_proj, train))  # (Em, B, N, C)
+            outs.append(mm(x, other_proj, train, fused))  # (Em, B, N, C) | dict
         if self.cfg.num_singlemodal_experts > 0:
             sm = _vmap_experts(
                 UnimodalExpert, self.cfg.num_singlemodal_experts,
                 dim=self.dim, cfg=self.cfg.adapter, dtype=self.dtype,
                 name="singlemodal_experts",
             )
-            outs.append(sm(x, other_proj, train))
-        expert_out = jnp.concatenate(outs, axis=0)  # (E, B, N, C)
-        out = jnp.einsum("ebnc,be->bnc", expert_out, probs.astype(expert_out.dtype))
+            outs.append(sm(x, other_proj, train, fused))
+        if fused:
+            t = {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+            out = fused_gated_combine(
+                t, probs, post_layernorm=self.cfg.adapter.post_layernorm,
+                dtype=self.dtype)
+        else:
+            expert_out = jnp.concatenate(outs, axis=0)  # (E, B, N, C)
+            out = jnp.einsum("ebnc,be->bnc", expert_out,
+                             probs.astype(expert_out.dtype))
 
         aux = {
             "gating_probs": probs,                        # (B, E)

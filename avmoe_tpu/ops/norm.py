@@ -55,9 +55,17 @@ class LayerNorm(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, params_only: bool = False) -> jax.Array:
         C = x.shape[-1]
         out_dtype = self.dtype or x.dtype
+        if params_only:
+            # fused-combine support: hand the affine params to the caller
+            # (x supplies only the channel count)
+            scale = (self.param("scale", nn.initializers.ones, (C,))
+                     if self.use_scale else jnp.ones((C,), jnp.float32))
+            bias = (self.param("bias", nn.initializers.zeros, (C,))
+                    if self.use_bias else jnp.zeros((C,), jnp.float32))
+            return scale, bias
         mean, var = _moments(x, (x.ndim - 1,))
         inv = jax.lax.rsqrt(var + self.epsilon)
         if out_dtype == jnp.float32:
@@ -91,7 +99,8 @@ class BatchNorm(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None,
+                 *, affine_only: bool = False) -> jax.Array:
         use_running = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
         C = x.shape[-1]
@@ -101,6 +110,18 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
         initializing = self.is_mutable_collection("params")
+
+        if affine_only:
+            # fused-combine support (running-stats mode only): return the
+            # folded per-channel (w, b) f32 pair instead of applying it
+            assert use_running, "affine_only requires running-average mode"
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            if self.use_scale:
+                inv = inv * self.param("scale", nn.initializers.ones, (C,))
+            b = -ra_mean.value * inv
+            if self.use_bias:
+                b = b + self.param("bias", nn.initializers.zeros, (C,))
+            return inv, b
 
         if use_running:
             mean, var = ra_mean.value, ra_var.value

@@ -24,6 +24,9 @@ import time
 # fast inference mode: bf16 attention logits (max-subtracted softmax keeps
 # bf16 range safe; training default stays fp32 for strict parity)
 os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
+# fused bottleneck-rank MoE combine (eval-only exact algebra; parity-tested
+# in tests/test_fused_moe.py)
+os.environ.setdefault("AVMOE_FUSED_MOE", "1")
 
 import jax
 import jax.numpy as jnp
