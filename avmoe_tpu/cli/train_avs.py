@@ -142,6 +142,9 @@ def main():
         log.info("test miou %.4f F %.4f", float(np.mean(ious)), fscore)
         return
 
+    from avmoe_tpu.telemetry.experts import ExpertUsageTracker
+
+    tracker = ExpertUsageTracker(cfg.moe.num_experts)
     rng = jax.random.PRNGKey(tcfg.seed)
     best = -np.inf
     for epoch in range(1, tcfg.epochs + 1):
@@ -154,9 +157,11 @@ def main():
         # eval: all 5 masks per clip
         variables_eval = {"params": merge_params(state.trainable, state.frozen),
                           "batch_stats": state.batch_stats}
+        tracker.reset()
         ious, preds, gts = [], [], []
         for batch in val_loader:
-            logits, _ = predict(variables_eval, batch["images"], batch["wave"])
+            logits, telemetry = predict(variables_eval, batch["images"], batch["wave"])
+            tracker.update(telemetry)
             mask = batch["mask"]
             mask = mask.reshape((-1,) + mask.shape[-2:])
             ious.append(float(mask_iou(logits, mask)))
@@ -170,6 +175,7 @@ def main():
         if miou >= best:
             best = miou
             ckpts.save_if_best(int(state.step), state, miou)
+    tracker.save(args.model_save_dir)
     log.info("best miou: %.4f", best)
 
 

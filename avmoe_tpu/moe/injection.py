@@ -223,9 +223,19 @@ class LockstepEncoder(nn.Module):
         # Fused Pallas block-chains (eval only): consecutive backbone blocks
         # between adapter seams run as one VMEM-resident megakernel.
         from avmoe_tpu.ops.pallas.fused_block import run_chain, use_fused_blocks
+        from avmoe_tpu.ops.swin import use_chunked_block
 
         fused = (
             use_fused_blocks() and not train and not self.is_initializing()
+        )
+        # Whole-block lax.map chunking (eval): attention + norms + MLP +
+        # residuals per window chunk, VMEM-resident. Adapter seams are served
+        # by passing the p1 residual into the body and reading back the
+        # mid-block state for p2 (the adapter branches are data-parallel with
+        # the backbone sub-blocks; see VERDICT round-2 perf notes).
+        chunked = (
+            use_chunked_block() and not fused and not train
+            and not self.is_initializing()
         )
 
         # pending runs of adapter-free visual blocks, flushed as one chain
@@ -243,6 +253,8 @@ class LockstepEncoder(nn.Module):
             if fused:
                 v_pending.append(idx)
                 return f_v
+            if chunked:
+                return self.swin.blocks[idx].chunked_forward(f_v, train=train)
             return self.swin.blocks[idx](f_v, train)
 
         def v_part(f_v, idx, part):
@@ -257,6 +269,8 @@ class LockstepEncoder(nn.Module):
         def a_block(f_a, idx):
             if fused:
                 return run_chain([self.htsat.blocks[idx]], f_a)
+            if chunked:
+                return self.htsat.blocks[idx].chunked_forward(f_a, train=train)
             return self.htsat.blocks[idx](f_a, train)
 
         for stage in range(len(self.swin_cfg.depths)):
@@ -271,6 +285,37 @@ class LockstepEncoder(nn.Module):
                 elif skipped:
                     f_v = v_block(f_v, vlo + v_off)
                     f_a = a_block(f_a, alo + a_off)
+                elif chunked:
+                    # --- p1: adapters on PRE-block features -------------------
+                    f_v_res = None
+                    if inj.audio_adapter_p1:
+                        f_a_res, aux_a = run_adapter(self.audio_moe_p1, f_a, f_v)
+                        f_v_res, aux_v = run_adapter(self.vis_moe_p1, f_v, f_a)
+                        tele["audio_p1"].append(aux_a["gating_probs"])
+                        tele["video_p1"].append(aux_v["gating_probs"])
+                    # whole visual block in one chunked pass; the p1 residual
+                    # rides into the body, the post-attention mid state comes
+                    # back for the p2 adapters (MLP does not depend on p2)
+                    if inj.audio_adapter_p2:
+                        mid_v, out_v = blk_v.chunked_forward(
+                            f_v, f_v_res, train=train, need_mid=True)
+                    else:
+                        mid_v = None
+                        out_v = blk_v.chunked_forward(f_v, f_v_res, train=train)
+                    f_a = a_block(f_a, alo + a_off)
+                    if inj.audio_adapter_p1:
+                        f_a = f_a + f_a_res
+                    # --- p2: adapters on the mid-block visual state -----------
+                    if inj.audio_adapter_p2:
+                        f_a_res2, aux_a2 = run_adapter(self.audio_moe_p2, f_a, mid_v)
+                        f_v_res2, aux_v2 = run_adapter(self.vis_moe_p2, mid_v, f_a)
+                        tele["audio_p2"].append(aux_a2["gating_probs"])
+                        tele["video_p2"].append(aux_v2["gating_probs"])
+                        f_v = out_v + f_v_res2
+                        f_a = f_a + f_a_res2
+                    else:
+                        f_v = out_v
+                    site_idx += 1
                 else:
                     f_v = flush_v(f_v)
                     # --- p1: adapters on PRE-block features -------------------

@@ -237,6 +237,15 @@ def use_pallas_attention() -> bool:
     return os.environ.get("AVMOE_PALLAS_ATTN", "0") == "1"
 
 
+def use_chunked_block() -> bool:
+    """Whole-block chunked execution toggle (env AVMOE_CHUNK_BLOCK, default
+    on; eval path only - callers gate on not-train). See
+    SwinBlock.chunked_forward."""
+    import os
+
+    return os.environ.get("AVMOE_CHUNK_BLOCK", "1") == "1"
+
+
 def use_chunked_attention() -> bool:
     """Chunked window attention (env AVMOE_CHUNK_ATTN, default on).
 
@@ -311,7 +320,8 @@ class WindowAttentionV1(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False):
+    def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False,
+                 monolithic: bool = False):
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -328,7 +338,7 @@ class WindowAttentionV1(nn.Module):
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
-        if (use_chunked_attention() and no_attn_drop
+        if (use_chunked_attention() and no_attn_drop and not monolithic
                 and not use_pallas_attention()):
             pet = self.dtype if bf16_attention_logits() else jnp.float32
             out = chunked_window_attention(
@@ -387,7 +397,8 @@ class WindowAttentionV2(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False):
+    def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False,
+                 monolithic: bool = False):
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -419,7 +430,7 @@ class WindowAttentionV2(nn.Module):
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
-        if (use_chunked_attention() and no_attn_drop
+        if (use_chunked_attention() and no_attn_drop and not monolithic
                 and not use_pallas_attention()):
             pet = self.dtype if bf16_attention_logits() else jnp.float32
             out = chunked_window_attention(
@@ -571,3 +582,73 @@ class SwinBlock(nn.Module):
         x = x + self.attn_residual(x, train=train)
         x = x + self.mlp_residual(x, train=train)
         return x
+
+    def chunked_forward(self, x, r_attn=None, *, train: bool = False,
+                        need_mid: bool = False):
+        """Whole block over window chunks: ONE HBM round-trip for the chunk
+        instead of materializing qkv / logits / MLP-hidden / norm streams.
+
+        The body (attention + norms + MLP + residuals) runs under `lax.map`
+        with chunk-local intermediates that XLA keeps in VMEM. `r_attn` is an
+        extra residual summed into the post-attention state (a p1 MoE-adapter
+        delta); with `need_mid` the post-attention state is also returned (the
+        p2 adapter's input). Eval-path only: DropPath/dropout must be inert,
+        so callers gate on `not train` (or zero rates)."""
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        window, shift = self._geometry()
+
+        def to_windows(t):
+            tg = t.reshape(B, H, W, C)
+            if shift > 0:
+                tg = jnp.roll(tg, (-shift, -shift), axis=(1, 2))
+            return window_partition(tg, window)
+
+        def from_windows(tw):
+            tg = window_reverse(tw, window, H, W)
+            if shift > 0:
+                tg = jnp.roll(tg, (shift, shift), axis=(1, 2))
+            return tg.reshape(B, L, C)
+
+        xw = to_windows(x)
+        rw = None if r_attn is None else to_windows(r_attn)
+        mask_np = shifted_window_mask(H, W, window, shift)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        nW = 1 if mask is None else mask.shape[0]
+        B_, N, _ = xw.shape
+        F = B_ // nW
+        pet_size = 2 if (bf16_attention_logits()
+                         and self.dtype != jnp.float32) else 4
+        per_frame = nW * self.num_heads * N * N * pet_size
+        f = int(max(1, min(F, (4 * 1024 * 1024) // max(per_frame, 1))))
+        while F % f:
+            f -= 1
+        cb = f * nW
+
+        def body(args):
+            xc, rc = args
+            if self.version == "v1":
+                a = self.attn(self.norm1(xc), mask=mask, train=train,
+                              monolithic=True)
+            else:
+                a = self.norm1(self.attn(xc, mask=mask, train=train,
+                                         monolithic=True))
+            mid = xc + a if rc is None else xc + a + rc
+            if self.version == "v1":
+                m = self.mlp(self.norm2(mid), train=train)
+            else:
+                m = self.norm2(self.mlp(mid, train=train))
+            out = mid + m
+            return (mid, out) if need_mid else out
+
+        xc = xw.reshape(B_ // cb, cb, N, C)
+        rc = (None,) * (B_ // cb) if rw is None else rw.reshape(B_ // cb, cb, N, C)
+        if rw is None:
+            res = jax.lax.map(lambda a: body((a, None)), xc)
+        else:
+            res = jax.lax.map(body, (xc, rc))
+        if need_mid:
+            mid, out = res
+            return (from_windows(mid.reshape(B_, N, C)),
+                    from_windows(out.reshape(B_, N, C)))
+        return from_windows(res.reshape(B_, N, C))

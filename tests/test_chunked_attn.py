@@ -53,3 +53,53 @@ def test_chunked_grads_flow():
     g = jax.grad(loss)(variables["params"])
     gn = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+@pytest.mark.parametrize("version,shift", [("v1", 0), ("v2", 2)])
+def test_chunked_forward_whole_block(version, shift):
+    """chunked_forward == x + attn_res (+r) + mlp_res chain, incl. mid state."""
+    H = W = 8
+    C, heads, window = 32, 4, 4
+    B = 2
+    blk = SwinBlock(dim=C, input_resolution=(H, W), num_heads=heads,
+                    window_size=window, shift_size=shift, version=version,
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (B, H * W, C)).astype(np.float32))
+    r = jnp.asarray(rng.normal(0, 0.1, (B, H * W, C)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+
+    mid_ref = x + blk.apply(variables, x, method="attn_residual") + r
+    out_ref = mid_ref + blk.apply(variables, mid_ref, method="mlp_residual")
+    mid, out = blk.apply(variables, x, r, need_mid=True,
+                         method="chunked_forward")
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(mid_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_full_model_chunked_block_matches():
+    """Tiny AVE eval forward: AVMOE_CHUNK_BLOCK on vs off."""
+    from avmoe_tpu.config import tiny_ave_config
+    from avmoe_tpu.models.ave import AVEModel
+
+    cfg = tiny_ave_config()
+    model = AVEModel(cfg)
+    rng = np.random.default_rng(3)
+    B, T = 1, cfg.num_segments
+    wave = jnp.asarray(rng.normal(0, 0.1, (B, T, cfg.audio_len)).astype(np.float32))
+    imgs = jnp.asarray(rng.random((B, T, cfg.swin.img_size, cfg.swin.img_size, 3),
+                                  ).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), wave, imgs)
+
+    os.environ["AVMOE_CHUNK_BLOCK"] = "0"
+    ref = model.apply(variables, wave, imgs)
+    os.environ["AVMOE_CHUNK_BLOCK"] = "1"
+    out = model.apply(variables, wave, imgs)
+    np.testing.assert_allclose(np.asarray(out["event_logits"]),
+                               np.asarray(ref["event_logits"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["is_event_logits"]),
+                               np.asarray(ref["is_event_logits"]),
+                               rtol=2e-4, atol=2e-4)

@@ -1,6 +1,7 @@
 """Profile the AVE eval forward on the real TPU, dump per-op device times."""
 import os
 os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
+os.environ.setdefault("AVMOE_FUSED_MOE", "1")
 import time
 import jax, jax.numpy as jnp, numpy as np
 from avmoe_tpu.utils import enable_compilation_cache
