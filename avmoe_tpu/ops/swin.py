@@ -238,12 +238,16 @@ def use_pallas_attention() -> bool:
 
 
 def use_chunked_block() -> bool:
-    """Whole-block chunked execution toggle (env AVMOE_CHUNK_BLOCK, default
-    on; eval path only - callers gate on not-train). See
-    SwinBlock.chunked_forward."""
+    """Whole-block chunked execution toggle (env AVMOE_CHUNK_BLOCK; eval path
+    only - callers gate on not-train). See SwinBlock.chunked_forward.
+
+    Default OFF: measured 50.9 clips/s vs 64.4 for chunked-attention-only on
+    the AVE flagship (v5e) - the seam blocks' dual mid/out stream writes, the
+    extra r/mid window copies, and per-block loop overhead outweigh keeping
+    the MLP hidden in VMEM. Kept for configs with fewer adapter seams."""
     import os
 
-    return os.environ.get("AVMOE_CHUNK_BLOCK", "1") == "1"
+    return os.environ.get("AVMOE_CHUNK_BLOCK", "0") == "1"
 
 
 def use_chunked_attention() -> bool:
@@ -260,9 +264,16 @@ def use_chunked_attention() -> bool:
     return os.environ.get("AVMOE_CHUNK_ATTN", "1") == "1"
 
 
+def _chunk_target_bytes() -> int:
+    """Per-chunk logits budget (env AVMOE_CHUNK_MB, default 4)."""
+    import os
+
+    return int(os.environ.get("AVMOE_CHUNK_MB", "4")) * 1024 * 1024
+
+
 def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
                              logit_scale=None, pet, dtype,
-                             target_bytes=4 * 1024 * 1024):
+                             target_bytes=None):
     """Attention core over packed qkv (B_, N, 3C) in window-frame chunks.
 
     bias: (H, N, N); mask: (nW, N, N) or None. Returns (B_, N, C) in `dtype`.
@@ -275,6 +286,8 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
     D = C // H
     nW = 1 if mask is None else mask.shape[0]
     F = B_ // nW
+    if target_bytes is None:
+        target_bytes = _chunk_target_bytes()
     per_frame = nW * H * N * N * (2 if pet != jnp.float32 else 4)
     f = int(max(1, min(F, target_bytes // max(per_frame, 1))))
     while F % f:
