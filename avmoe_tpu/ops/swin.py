@@ -351,7 +351,9 @@ class WindowAttentionV1(nn.Module):
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
-        if (use_chunked_attention() and no_attn_drop and not monolithic
+        # chunked path is eval-only: backward through lax.map stacks saved
+        # chunk residuals and OOMs the 16 GB HBM at the flagship train batch
+        if (use_chunked_attention() and not train and not monolithic
                 and not use_pallas_attention()):
             pet = self.dtype if bf16_attention_logits() else jnp.float32
             out = chunked_window_attention(
@@ -443,7 +445,9 @@ class WindowAttentionV2(nn.Module):
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
-        if (use_chunked_attention() and no_attn_drop and not monolithic
+        # chunked path is eval-only: backward through lax.map stacks saved
+        # chunk residuals and OOMs the 16 GB HBM at the flagship train batch
+        if (use_chunked_attention() and not train and not monolithic
                 and not use_pallas_attention()):
             pet = self.dtype if bf16_attention_logits() else jnp.float32
             out = chunked_window_attention(
