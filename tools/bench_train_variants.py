@@ -1,4 +1,6 @@
 """Train-step throughput across remat configs (batch 4/8, full/dots)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time, json
 os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
 import jax, jax.numpy as jnp, numpy as np

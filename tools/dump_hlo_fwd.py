@@ -1,4 +1,6 @@
 """Dump optimized HLO for the AVE eval forward (current env toggles)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
 os.environ.setdefault("AVMOE_FUSED_MOE", "1")

@@ -9,6 +9,8 @@ Measured on v5e (30 epochs, 4 classes): 42.5% -> 77.5%.
 
 Run: python tools/learning_sanity.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

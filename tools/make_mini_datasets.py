@@ -16,6 +16,8 @@ Usage: python tools/make_mini_datasets.py [out_root] [--n N] [--img SIZE]
 """
 
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json
