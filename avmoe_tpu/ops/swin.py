@@ -250,6 +250,17 @@ def use_chunked_block() -> bool:
     return os.environ.get("AVMOE_CHUNK_BLOCK", "0") == "1"
 
 
+def chunk_attn_train() -> bool:
+    """Rematerialized chunked attention in TRAIN (env AVMOE_CHUNK_ATTN_TRAIN):
+    the attention core runs chunked under jax.checkpoint, so backward
+    recomputes each chunk's logits/softmax from the saved packed qkv instead
+    of streaming stacked per-chunk residuals through HBM (which OOMs at the
+    flagship batch without remat)."""
+    import os
+
+    return os.environ.get("AVMOE_CHUNK_ATTN_TRAIN", "0") == "1"
+
+
 def use_chunked_attention() -> bool:
     """Chunked window attention (env AVMOE_CHUNK_ATTN, default on).
 
@@ -351,13 +362,18 @@ class WindowAttentionV1(nn.Module):
         bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
-        # chunked path is eval-only: backward through lax.map stacks saved
-        # chunk residuals and OOMs the 16 GB HBM at the flagship train batch
-        if (use_chunked_attention() and not train and not monolithic
-                and not use_pallas_attention()):
+        # eval: plain chunked; train: only with remat (backward through the
+        # bare lax.map stacks saved chunk residuals and OOMs the 16 GB HBM)
+        use_chunk = (use_chunked_attention() and not monolithic
+                     and not use_pallas_attention()
+                     and (not train or (no_attn_drop and chunk_attn_train())))
+        if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
-            out = chunked_window_attention(
-                qkv, bias, mask, H, version="v1", pet=pet, dtype=self.dtype)
+            core = lambda qkv_, bias_: chunked_window_attention(
+                qkv_, bias_, mask, H, version="v1", pet=pet, dtype=self.dtype)
+            if train:
+                core = jax.checkpoint(core)
+            out = core(qkv, bias)
             out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -445,14 +461,18 @@ class WindowAttentionV2(nn.Module):
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
-        # chunked path is eval-only: backward through lax.map stacks saved
-        # chunk residuals and OOMs the 16 GB HBM at the flagship train batch
-        if (use_chunked_attention() and not train and not monolithic
-                and not use_pallas_attention()):
+        # eval: plain chunked; train: only with remat (see V1 note)
+        use_chunk = (use_chunked_attention() and not monolithic
+                     and not use_pallas_attention()
+                     and (not train or (no_attn_drop and chunk_attn_train())))
+        if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
-            out = chunked_window_attention(
-                qkv, bias, mask, H, version="v2", logit_scale=logit_scale,
+            core = lambda qkv_, bias_, lsc_: chunked_window_attention(
+                qkv_, bias_, mask, H, version="v2", logit_scale=lsc_,
                 pet=pet, dtype=self.dtype)
+            if train:
+                core = jax.checkpoint(core)
+            out = core(qkv, bias, logit_scale)
             out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 

@@ -103,3 +103,32 @@ def test_full_model_chunked_block_matches():
     np.testing.assert_allclose(np.asarray(out["is_event_logits"]),
                                np.asarray(ref["is_event_logits"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_train_remat_chunked_grads_match():
+    """AVMOE_CHUNK_ATTN_TRAIN grads == monolithic train-path grads."""
+    blk = SwinBlock(dim=16, input_resolution=(8, 8), num_heads=2,
+                    window_size=4, shift_size=2, version="v2",
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 16)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(jnp.square(blk.apply(
+            {"params": params}, x, True,
+            rngs={"dropout": jax.random.PRNGKey(1)})))
+
+    os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "0"
+    g_ref = jax.grad(loss)(variables["params"])
+    os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "1"
+    try:
+        g = jax.grad(loss)(variables["params"])
+    finally:
+        os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "0"
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref)
+    got_leaves = jax.tree_util.tree_leaves_with_path(g)
+    for (ka, a), (kb, b) in zip(ref_leaves, got_leaves):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(ka))

@@ -13,6 +13,8 @@ from avmoe_tpu.train.steps import make_train_step
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "b4"
 B = int(variant[1])
+if "chunk" in variant:
+    os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "1"
 cfg = AVEConfig()
 if "remat" in variant:
     pol = "dots" if "dots" in variant else "full"
