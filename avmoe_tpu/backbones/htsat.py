@@ -250,12 +250,20 @@ class HTSATEncoder(nn.Module):
             return self._features_from_spec(spec)
         crop = (T - 1) // 2
         overlap = (T - 1) // 4
-        outs = []
-        for pos in range(0, T - crop - 1, overlap):
-            outs.append(self._features_from_spec(spec[:, pos: pos + crop]))
-        return {
-            k: sum(o[k] for o in outs) / len(outs) for k in outs[0]
-        }
+        positions = list(range(0, T - crop - 1, overlap))
+        if self.is_initializing():
+            # param-creation pass: run one crop eagerly
+            out = self._features_from_spec(spec[:, :crop])
+            return out
+        # every crop has the same static shape, so the crop forward compiles
+        # ONCE and lax.map iterates it - program size (and compile time) no
+        # longer scales with the audio length
+        def body(pos):
+            crop_spec = jax.lax.dynamic_slice_in_dim(spec, pos, crop, axis=1)
+            return self._features_from_spec(crop_spec)
+
+        outs = jax.lax.map(body, jnp.asarray(positions, jnp.int32))
+        return {k: v.mean(axis=0) for k, v in outs.items()}
 
     def forward_repeat_mode(self, wave: jax.Array) -> dict:
         """Short-audio inference: tile the spectrogram in time up to the model
