@@ -281,11 +281,13 @@ def fused_gated_combine(t: dict, probs: jax.Array, *, post_layernorm: bool,
     zw = zg * a[:, :, :, None, None]
     out = jnp.einsum("ebngi,egio->bngo", zw.astype(dtype),
                      Ug.astype(dtype)).reshape(B, N, C)
+    # rank-3E epilogue in ONE einsum (separate terms each materialized a
+    # stream-sized tensor): + a*b2g - (a*mu)*gp + pe*bp
     b2g = (b2.reshape(E, g, o) * gp).reshape(E, C)     # bn2 bias thru lnp scale
-    out = out + jnp.einsum("ebn,ec->bnc", a, b2g).astype(dtype)
-    out = out - jnp.einsum("ebn,ec->bnc", a * mu,
-                           gp.reshape(E, C)).astype(dtype)
-    out = out + (pe @ bp)[:, None, :].astype(dtype)
+    coeffs = jnp.concatenate(
+        [a, -a * mu, jnp.broadcast_to(pe.T[:, :, None], (E, B, N))], axis=0)
+    vecs = jnp.concatenate([b2g, gp.reshape(E, C), bp], axis=0)
+    out = out + jnp.einsum("ebn,ec->bnc", coeffs, vecs).astype(dtype)
     return out.astype(dtype)
 
 
