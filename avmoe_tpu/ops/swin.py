@@ -104,6 +104,16 @@ def window_reverse(windows: jax.Array, window: int, h: int, w: int) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
+def fast_gelu() -> bool:
+    """tanh-approximate GELU (env AVMOE_FAST_GELU=1): cheaper VPU lowering
+    than the exact-erf default. Opt-in fast-inference mode; the default stays
+    exact for torch/timm parity (max |err| of the approximation ~3e-3, below
+    bf16 stream noise)."""
+    import os
+
+    return os.environ.get("AVMOE_FAST_GELU", "0") == "1"
+
+
 class Mlp(nn.Module):
     """Transformer MLP (fc -> act -> drop -> fc -> drop)."""
 
@@ -117,7 +127,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = self.act(x)
+        x = nn.gelu(x, approximate=True) if fast_gelu() else self.act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -1,0 +1,44 @@
+"""Profile one flagship AVE train step on the TPU (b8chunk-style config)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
+os.environ.setdefault("AVMOE_CHUNK_ATTN_TRAIN", "1")
+import time
+import jax, jax.numpy as jnp, numpy as np
+from avmoe_tpu.utils import enable_compilation_cache
+enable_compilation_cache()
+from avmoe_tpu.config import AVEConfig, TrainConfig
+from avmoe_tpu.models.ave import AVEModel, make_ave_loss_fn
+from avmoe_tpu.train.state import create_train_state
+from avmoe_tpu.train.steps import make_train_step
+
+B = int(os.environ.get("PROF_BATCH", "8"))
+cfg = AVEConfig()
+tcfg = TrainConfig(batch_size=B, accum_steps=1)
+model = AVEModel(cfg, dtype=jnp.bfloat16)
+T = cfg.num_segments
+rng = np.random.RandomState(0)
+batch = {
+    "wave": jnp.asarray(rng.randn(B, T, cfg.audio_len).astype(np.float32) * 0.1),
+    "images": jnp.asarray(rng.rand(B, T, 192, 192, 3).astype(np.float32)),
+    "labels": jnp.asarray(np.eye(cfg.num_classes + 1, dtype=np.float32)[
+        rng.randint(0, cfg.num_classes + 1, (B, T))]),
+}
+variables = jax.jit(lambda r, w, im: model.init(r, w, im, train=True))(
+    {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+     "specaug": jax.random.PRNGKey(2)},
+    batch["wave"][:1], batch["images"][:1])
+state = create_train_state(model, variables, tcfg)
+train_step = make_train_step(make_ave_loss_fn(model), donate=False)
+key = jax.random.PRNGKey(0)
+t0 = time.time()
+state, m = train_step(state, batch, key)
+print("warm", time.time() - t0, float(m["loss"]), flush=True)
+import jax.profiler
+jax.profiler.start_trace(os.environ.get("TRACE_DIR", "/tmp/trace_train"))
+for i in range(2):
+    state, m = train_step(state, batch, jax.random.fold_in(key, i))
+_ = float(m["loss"])
+jax.profiler.stop_trace()
+print("done", flush=True)
