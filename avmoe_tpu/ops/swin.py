@@ -260,6 +260,16 @@ def use_chunked_block() -> bool:
     return os.environ.get("AVMOE_CHUNK_BLOCK", "0") == "1"
 
 
+def chunk_v1() -> bool:
+    """Chunked attention for v1 (HTS-AT audio) blocks (env AVMOE_CHUNK_V1).
+    Audio windows are small (2 MB of logits per frame), so the chunk loop
+    runs ~40 tiny iterations per block; monolithic can win there while the
+    big vision (v2) logits still want chunking."""
+    import os
+
+    return os.environ.get("AVMOE_CHUNK_V1", "1") == "1"
+
+
 def chunk_attn_train() -> bool:
     """Rematerialized chunked attention in TRAIN (env AVMOE_CHUNK_ATTN_TRAIN):
     the attention core runs chunked under jax.checkpoint, so backward
@@ -374,7 +384,7 @@ class WindowAttentionV1(nn.Module):
         no_attn_drop = self.attn_drop == 0.0 or not train
         # eval: plain chunked; train: only with remat (backward through the
         # bare lax.map stacks saved chunk residuals and OOMs the 16 GB HBM)
-        use_chunk = (use_chunked_attention() and not monolithic
+        use_chunk = (use_chunked_attention() and chunk_v1() and not monolithic
                      and not use_pallas_attention()
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:

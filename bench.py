@@ -27,6 +27,9 @@ os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
 # fused bottleneck-rank MoE combine (eval-only exact algebra; parity-tested
 # in tests/test_fused_moe.py)
 os.environ.setdefault("AVMOE_FUSED_MOE", "1")
+# tanh-approx GELU (max rel err ~3e-3, below bf16 stream noise; erf lowering
+# costs ~10 ms/forward on the VPU). Train keeps exact GELU by default.
+os.environ.setdefault("AVMOE_FAST_GELU", "1")
 
 import jax
 import jax.numpy as jnp
