@@ -223,7 +223,7 @@ class LockstepEncoder(nn.Module):
         # Fused Pallas block-chains (eval only): consecutive backbone blocks
         # between adapter seams run as one VMEM-resident megakernel.
         from avmoe_tpu.ops.pallas.fused_block import run_chain, use_fused_blocks
-        from avmoe_tpu.ops.swin import use_chunked_block
+        from avmoe_tpu.ops.swin import use_chunked_attn_state, use_chunked_block
 
         fused = (
             use_fused_blocks() and not train and not self.is_initializing()
@@ -236,6 +236,14 @@ class LockstepEncoder(nn.Module):
         chunked = (
             use_chunked_block() and not fused and not train
             and not self.is_initializing()
+        )
+        # Attention-state chunking (eval default): qkv + attention + proj +
+        # norm1 + residual (+ p1 delta) in ONE mapped body per block - a
+        # single stream output, so none of the whole-block seam regression -
+        # while the MLP keeps the efficient full-batch XLA GEMMs.
+        attn_state = (
+            use_chunked_attn_state() and not fused and not chunked
+            and not train and not self.is_initializing()
         )
 
         # pending runs of adapter-free visual blocks, flushed as one chain
@@ -255,6 +263,10 @@ class LockstepEncoder(nn.Module):
                 return f_v
             if chunked:
                 return self.swin.blocks[idx].chunked_forward(f_v, train=train)
+            if attn_state:
+                blk = self.swin.blocks[idx]
+                mid = blk.chunked_forward(f_v, train=train, part="attn")
+                return mid + blk.mlp_residual(mid, train)
             return self.swin.blocks[idx](f_v, train)
 
         def v_part(f_v, idx, part):
@@ -271,6 +283,10 @@ class LockstepEncoder(nn.Module):
                 return run_chain([self.htsat.blocks[idx]], f_a)
             if chunked:
                 return self.htsat.blocks[idx].chunked_forward(f_a, train=train)
+            if attn_state:
+                blk = self.htsat.blocks[idx]
+                mid = blk.chunked_forward(f_a, train=train, part="attn")
+                return mid + blk.mlp_residual(mid, train)
             return self.htsat.blocks[idx](f_a, train)
 
         for stage in range(len(self.swin_cfg.depths)):
@@ -315,6 +331,31 @@ class LockstepEncoder(nn.Module):
                         f_a = f_a + f_a_res2
                     else:
                         f_v = out_v
+                    site_idx += 1
+                elif attn_state:
+                    # --- p1: adapters on PRE-block features -------------------
+                    f_v_res = None
+                    if inj.audio_adapter_p1:
+                        f_a_res, aux_a = run_adapter(self.audio_moe_p1, f_a, f_v)
+                        f_v_res, aux_v = run_adapter(self.vis_moe_p1, f_v, f_a)
+                        tele["audio_p1"].append(aux_a["gating_probs"])
+                        tele["video_p1"].append(aux_v["gating_probs"])
+                    # attention sub-block + p1 delta in one mapped body
+                    f_v = blk_v.chunked_forward(f_v, f_v_res, train=train,
+                                                part="attn")
+                    f_a = a_block(f_a, alo + a_off)
+                    if inj.audio_adapter_p1:
+                        f_a = f_a + f_a_res
+                    # --- p2: adapters around the visual MLP sub-block ----------
+                    if inj.audio_adapter_p2:
+                        f_a_res2, aux_a2 = run_adapter(self.audio_moe_p2, f_a, f_v)
+                        f_v_res2, aux_v2 = run_adapter(self.vis_moe_p2, f_v, f_a)
+                        tele["audio_p2"].append(aux_a2["gating_probs"])
+                        tele["video_p2"].append(aux_v2["gating_probs"])
+                    f_v = f_v + blk_v.mlp_residual(f_v, train)
+                    if inj.audio_adapter_p2:
+                        f_v = f_v + f_v_res2
+                        f_a = f_a + f_a_res2
                     site_idx += 1
                 else:
                     f_v = flush_v(f_v)

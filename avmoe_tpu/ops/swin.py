@@ -260,6 +260,16 @@ def use_chunked_block() -> bool:
     return os.environ.get("AVMOE_CHUNK_BLOCK", "0") == "1"
 
 
+def use_chunked_attn_state() -> bool:
+    """Attention-state chunking (env AVMOE_CHUNK_ATTN_STATE, default on):
+    the injection engine runs qkv + attention + proj + norm1 + residual
+    (+ p1 adapter delta) as ONE mapped body per block (eval path), so the
+    attention sub-block makes a single stream round-trip."""
+    import os
+
+    return os.environ.get("AVMOE_CHUNK_ATTN_STATE", "1") == "1"
+
+
 def chunk_v1() -> bool:
     """Chunked attention for v1 (HTS-AT audio) blocks (env AVMOE_CHUNK_V1).
     Audio windows are small (2 MB of logits per frame), so the chunk loop
@@ -641,7 +651,7 @@ class SwinBlock(nn.Module):
         return x
 
     def chunked_forward(self, x, r_attn=None, *, train: bool = False,
-                        need_mid: bool = False):
+                        need_mid: bool = False, part: str = "full"):
         """Whole block over window chunks: ONE HBM round-trip for the chunk
         instead of materializing qkv / logits / MLP-hidden / norm streams.
 
@@ -691,6 +701,8 @@ class SwinBlock(nn.Module):
                 a = self.norm1(self.attn(xc, mask=mask, train=train,
                                          monolithic=True))
             mid = xc + a if rc is None else xc + a + rc
+            if part == "attn":
+                return mid
             if self.version == "v1":
                 m = self.mlp(self.norm2(mid), train=train)
             else:

@@ -132,3 +132,29 @@ def test_train_remat_chunked_grads_match():
         assert str(ka) == str(kb)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4, err_msg=str(ka))
+
+
+def test_full_model_attn_state_matches():
+    """Tiny AVE eval forward: AVMOE_CHUNK_ATTN_STATE on vs off."""
+    from avmoe_tpu.config import tiny_ave_config
+    from avmoe_tpu.models.ave import AVEModel
+
+    cfg = tiny_ave_config()
+    model = AVEModel(cfg)
+    rng = np.random.default_rng(7)
+    B, T = 1, cfg.num_segments
+    wave = jnp.asarray(rng.normal(0, 0.1, (B, T, cfg.audio_len)).astype(np.float32))
+    imgs = jnp.asarray(rng.random((B, T, cfg.swin.img_size, cfg.swin.img_size, 3),
+                                  ).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), wave, imgs)
+
+    os.environ["AVMOE_CHUNK_ATTN_STATE"] = "0"
+    ref = model.apply(variables, wave, imgs)
+    os.environ["AVMOE_CHUNK_ATTN_STATE"] = "1"
+    out = model.apply(variables, wave, imgs)
+    np.testing.assert_allclose(np.asarray(out["event_logits"]),
+                               np.asarray(ref["event_logits"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["is_event_logits"]),
+                               np.asarray(ref["is_event_logits"]),
+                               rtol=2e-4, atol=2e-4)
