@@ -261,13 +261,17 @@ def use_chunked_block() -> bool:
 
 
 def use_chunked_attn_state() -> bool:
-    """Attention-state chunking (env AVMOE_CHUNK_ATTN_STATE, default on):
-    the injection engine runs qkv + attention + proj + norm1 + residual
-    (+ p1 adapter delta) as ONE mapped body per block (eval path), so the
-    attention sub-block makes a single stream round-trip."""
+    """Attention-state chunking (env AVMOE_CHUNK_ATTN_STATE): the injection
+    engine runs qkv + attention + proj + norm1 + residual (+ p1 adapter
+    delta) as ONE mapped body per block (eval path).
+
+    Default OFF: measured 62.2 vs 76.2 clips/s - every extra operand fed into
+    a lax.map body pays per-chunk dynamic-slice/copy machinery that costs
+    more than the fused LN/residual stream passes it saves. The minimal
+    qkv-in/attn-out chunk body is the sweet spot on this stack."""
     import os
 
-    return os.environ.get("AVMOE_CHUNK_ATTN_STATE", "1") == "1"
+    return os.environ.get("AVMOE_CHUNK_ATTN_STATE", "0") == "1"
 
 
 def chunk_v1() -> bool:
