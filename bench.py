@@ -30,6 +30,9 @@ os.environ.setdefault("AVMOE_FUSED_MOE", "1")
 # tanh-approx GELU (max rel err ~3e-3, below bf16 stream noise; erf lowering
 # costs ~10 ms/forward on the VPU). Train keeps exact GELU by default.
 os.environ.setdefault("AVMOE_FAST_GELU", "1")
+# train-step fast mode: chunked attention under jax.checkpoint (grad-parity
+# tested in tests/test_chunked_attn.py)
+os.environ.setdefault("AVMOE_CHUNK_ATTN_TRAIN", "1")
 
 import jax
 import jax.numpy as jnp
