@@ -90,6 +90,44 @@ def window_partition(x: jax.Array, window: int) -> jax.Array:
     return x.reshape(-1, window * window, C)
 
 
+@functools.lru_cache(maxsize=None)
+def _shifted_partition_perm(h: int, w: int, window: int, shift: int):
+    """Token permutation equal to roll(-shift) + window_partition, and its
+    inverse. One gather beats the roll's slice+concat copies + the partition
+    transpose copy (measured 313 vs 571 us at the stage-1 shape)."""
+    idx = np.arange(h * w).reshape(h, w)
+    idx = np.roll(idx, (-shift, -shift), axis=(0, 1))
+    idx = idx.reshape(h // window, window, w // window, window)
+    idx = idx.transpose(0, 2, 1, 3).reshape(-1)
+    inv = np.empty_like(idx)
+    inv[idx] = np.arange(idx.size)
+    return idx.astype(np.int32), inv.astype(np.int32)
+
+
+def partition_windows(x: jax.Array, H: int, W: int, window: int,
+                      shift: int) -> jax.Array:
+    """(B, L, C) tokens -> (B*nW, N, C) (shift-)windowed, single gather when
+    shifted."""
+    B, L, C = x.shape
+    if shift == 0:
+        return window_partition(x.reshape(B, H, W, C), window)
+    perm, _ = _shifted_partition_perm(H, W, window, shift)
+    xw = jnp.take(x, jnp.asarray(perm), axis=1)
+    return xw.reshape(-1, window * window, C)
+
+
+def unpartition_windows(wins: jax.Array, H: int, W: int, window: int,
+                        shift: int) -> jax.Array:
+    """(B*nW, N, C) -> (B, L, C), inverse of partition_windows."""
+    C = wins.shape[-1]
+    if shift == 0:
+        return window_reverse(wins, window, H, W).reshape(-1, H * W, C)
+    _, inv = _shifted_partition_perm(H, W, window, shift)
+    nW = (H // window) * (W // window)
+    flat = wins.reshape(-1, nW * window * window, C)
+    return jnp.take(flat, jnp.asarray(inv), axis=1)
+
+
 def window_reverse(windows: jax.Array, window: int, h: int, w: int) -> jax.Array:
     """(B * nW, window*window, C) -> (B, H, W, C)."""
     C = windows.shape[-1]
@@ -274,6 +312,16 @@ def use_chunked_attn_state() -> bool:
     return os.environ.get("AVMOE_CHUNK_ATTN_STATE", "0") == "1"
 
 
+def attn_remat_threshold_bytes() -> int:
+    """TRAIN chunked attention: rematerialize (jax.checkpoint) only blocks
+    whose full softmax tensor exceeds this many MB (env AVMOE_ATTN_REMAT_MB,
+    default 64). Smaller stages store their chunk intermediates - the memory
+    is modest and skipping the backward recompute pass is faster."""
+    import os
+
+    return int(os.environ.get("AVMOE_ATTN_REMAT_MB", "64")) * 1024 * 1024
+
+
 def chunk_v1() -> bool:
     """Chunked attention for v1 (HTS-AT audio) blocks (env AVMOE_CHUNK_V1).
     Audio windows are small (2 MB of logits per frame), so the chunk loop
@@ -405,7 +453,8 @@ class WindowAttentionV1(nn.Module):
             pet = self.dtype if bf16_attention_logits() else jnp.float32
             core = lambda qkv_, bias_: chunked_window_attention(
                 qkv_, bias_, mask, H, version="v1", pet=pet, dtype=self.dtype)
-            if train:
+            logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
+            if train and logits_bytes > attn_remat_threshold_bytes():
                 core = jax.checkpoint(core)
             out = core(qkv, bias)
             out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -504,7 +553,8 @@ class WindowAttentionV2(nn.Module):
             core = lambda qkv_, bias_, lsc_: chunked_window_attention(
                 qkv_, bias_, mask, H, version="v2", logit_scale=lsc_,
                 pet=pet, dtype=self.dtype)
-            if train:
+            logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
+            if train and logits_bytes > attn_remat_threshold_bytes():
                 core = jax.checkpoint(core)
             out = core(qkv, bias, logit_scale)
             out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -625,17 +675,11 @@ class SwinBlock(nn.Module):
         H, W = self.input_resolution
         B, L, C = x.shape
         window, shift = self._geometry()
-        xg = x.reshape(B, H, W, C)
-        if shift > 0:
-            xg = jnp.roll(xg, (-shift, -shift), axis=(1, 2))
-        wins = window_partition(xg, window)
+        wins = partition_windows(x, H, W, window, shift)
         mask_np = shifted_window_mask(H, W, window, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
         wins = self.attn(wins, mask=mask, train=train)
-        xg = window_reverse(wins, window, H, W)
-        if shift > 0:
-            xg = jnp.roll(xg, (shift, shift), axis=(1, 2))
-        return xg.reshape(B, L, C)
+        return unpartition_windows(wins, H, W, window, shift)
 
     def attn_residual(self, x, train: bool = False):
         """Residual delta of the attention sub-block (pre/post-norm aware)."""
@@ -670,16 +714,10 @@ class SwinBlock(nn.Module):
         window, shift = self._geometry()
 
         def to_windows(t):
-            tg = t.reshape(B, H, W, C)
-            if shift > 0:
-                tg = jnp.roll(tg, (-shift, -shift), axis=(1, 2))
-            return window_partition(tg, window)
+            return partition_windows(t, H, W, window, shift)
 
         def from_windows(tw):
-            tg = window_reverse(tw, window, H, W)
-            if shift > 0:
-                tg = jnp.roll(tg, (shift, shift), axis=(1, 2))
-            return tg.reshape(B, L, C)
+            return unpartition_windows(tw, H, W, window, shift)
 
         xw = to_windows(x)
         rw = None if r_attn is None else to_windows(r_attn)

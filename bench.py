@@ -43,6 +43,20 @@ from avmoe_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 NOMINAL_A100_CLIPS_PER_SEC = 50.0  # derivation: BASELINE.md
+
+def _jit(f):
+    """jit with optional scoped-VMEM override (env AVMOE_SCOPED_VMEM_KIB):
+    larger scoped VMEM lets XLA form bigger fusion islands."""
+    kib = os.environ.get("AVMOE_SCOPED_VMEM_KIB")
+    if kib:
+        import jax as _jax
+
+        return _jax.jit(f, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": kib})
+    import jax as _jax
+
+    return _jax.jit(f)
+
 BATCH_CLIPS = int(os.environ.get("BENCH_BATCH_CLIPS", "4"))
 WARMUP = 3
 ITERS = 20
@@ -64,7 +78,7 @@ def bench_eval(model, cfg):
         rng.rand(BATCH_CLIPS, T, cfg.swin.img_size, cfg.swin.img_size, 3).astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), wave[:1], imgs[:1])
 
-    @jax.jit
+    @_jit
     def fwd(variables, wave, imgs):
         out = model.apply(variables, wave, imgs, train=False)
         return out["is_event_logits"], out["event_logits"]
