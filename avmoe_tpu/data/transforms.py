@@ -15,8 +15,34 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
+def _use_pil_decode() -> bool:
+    """AVMOE_PIL_DECODE=1 forces the PIL path: torchvision's PIL bicubic
+    (antialiased) is the reference's exact resize; cv2's INTER_AREA/CUBIC is
+    ~2-3x faster on the host but differs at the pixel level on downscale."""
+    import os
+
+    return os.environ.get("AVMOE_PIL_DECODE", "0") == "1"
+
+
 def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
-    """Decode + bicubic resize + ImageNet normalize -> (H, W, 3) float32."""
+    """Decode + resize + ImageNet normalize -> (H, W, 3) float32.
+
+    Default decodes with cv2 (fast path); AVMOE_PIL_DECODE=1 restores the
+    reference-exact PIL bicubic resize."""
+    if not _use_pil_decode():
+        try:
+            import cv2
+
+            bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+            if bgr is not None:
+                interp = (cv2.INTER_AREA
+                          if bgr.shape[0] > size[1] and bgr.shape[1] > size[0]
+                          else cv2.INTER_CUBIC)
+                bgr = cv2.resize(bgr, size, interpolation=interp)
+                arr = bgr[:, :, ::-1].astype(np.float32) / 255.0
+                return (arr - IMAGENET_MEAN) / IMAGENET_STD
+        except ImportError:
+            pass
     from PIL import Image
 
     with Image.open(path) as im:
