@@ -15,6 +15,7 @@ variant = sys.argv[1] if len(sys.argv) > 1 else "b4"
 B = int(variant[1])
 if "chunk" in variant:
     os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "1"
+DONATE = "donate" in variant
 cfg = AVEConfig()
 if "remat" in variant:
     pol = "dots" if "dots" in variant else "full"
@@ -35,7 +36,7 @@ variables = jax.jit(lambda r, w, im: model.init(r, w, im, train=True))(
      "specaug": jax.random.PRNGKey(2)},
     batch["wave"][:1], batch["images"][:1])
 state = create_train_state(model, variables, tcfg)
-train_step = make_train_step(make_ave_loss_fn(model), donate=False)
+train_step = make_train_step(make_ave_loss_fn(model), donate=DONATE)
 key = jax.random.PRNGKey(0)
 t0 = time.time()
 state, m = train_step(state, batch, key)
