@@ -134,16 +134,22 @@ def _cubic_kernel(s: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def bicubic_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) matrix implementing torch's 1-D bicubic interpolation
-    with align_corners=True and border clamping (ref: htsat.py:726-728 uses
-    F.interpolate(mode='bicubic', align_corners=True))."""
+def bicubic_resize_matrix(in_size: int, out_size: int,
+                          align_corners: bool = True) -> np.ndarray:
+    """(out_size, in_size) matrix implementing torch's 1-D bicubic
+    interpolation with border clamping. align_corners=True matches HTS-AT's
+    reshape_wav2img (ref: htsat.py:726-728); align_corners=False matches the
+    AVS decoder's default-flag F.interpolate calls (PVT_AVSModel_v2.py:793,
+    903-906)."""
     if in_size == out_size:
         return np.eye(in_size, dtype=np.float32)
     mat = np.zeros((out_size, in_size), dtype=np.float64)
     scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
     for i in range(out_size):
-        x = i * scale
+        if align_corners:
+            x = i * scale
+        else:
+            x = (i + 0.5) * in_size / out_size - 0.5
         x0 = int(np.floor(x))
         t = x - x0
         for tap, offset in enumerate(range(-1, 3)):

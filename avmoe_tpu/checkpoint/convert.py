@@ -129,6 +129,7 @@ def convert_moe_adapter(
     use_gate: bool = True,
     before_layernorm: bool = True,
     post_layernorm: bool = True,
+    self_attention: str = "none",
 ) -> Tuple[Dict, Dict]:
     """Reference MoEAdapter state_dict (net_trans_v3.py:438-487) ->
     (params, batch_stats) for avmoe_tpu.moe.adapter.MoEAdapter.
@@ -166,6 +167,25 @@ def convert_moe_adapter(
         if multimodal:
             _set(p, f"{dst}/latent_tokens", stack(prefix, n, "my_tokens"))
             _set(p, f"{dst}/gate_av", stack(prefix, n, "gate_av"))
+        elif self_attention == "bmm":
+            # AVVP unimodal experts gate their dot-product self-attn with the
+            # same gate_av parameter name (mgn.py:132-146)
+            _set(p, f"{dst}/gate_av", stack(prefix, n, "gate_av"))
+        elif self_attention == "token":
+            # AVS v2 latent-token self-attention (PVT_AVSModel_v2.py:144-145)
+            _set(p, f"{dst}/latent_tokens", stack(prefix, n, "my_tokens"))
+            _set(p, f"{dst}/gate_self", stack(prefix, n, "gate_self"))
+        elif self_attention == "mha":
+            # AVS v1 unimodal experts: per-expert nn.MultiheadAttention
+            # (PVT_AVSModel_v2.py:142); convert each then stack leaves along
+            # the expert axis
+            per = []
+            for i in range(n):
+                q: Dict[Tuple[str, ...], np.ndarray] = {}
+                _mha(q, sd, f"{prefix}.{i}.self_attention", "self_attention", 4)
+                per.append(q)
+            for key in per[0]:
+                p[(dst,) + key] = np.stack([q[key] for q in per])
         if use_gate:
             _set(p, f"{dst}/gate", stack(prefix, n, "gate"))
         if before_layernorm:
@@ -246,6 +266,7 @@ def convert_lockstep_encoder(
     p1: bool = True,
     p2: bool = True,
     moe_kwargs: Optional[Dict] = None,
+    vis_use_gate: Optional[bool] = None,
 ) -> Tuple[Dict, Dict]:
     """Reference MMIL_Net-style state_dict (swin.* + htsat.* +
     {audio,vis}_moe_adapter_blocks_p{1,2}.{i}.*, net_trans_v3.py:489-637) ->
@@ -271,11 +292,16 @@ def convert_lockstep_encoder(
         pairs += [("audio_moe_adapter_blocks_p2", "audio_moe_p2"),
                   ("vis_moe_adapter_blocks_p2", "vis_moe_p2")]
     for src, dst in pairs:
+        kw = dict(moe_kwargs)
+        if dst.startswith("vis_") and vis_use_gate is not None:
+            # reference vis-side adapters hardcode use_gate=True while the
+            # audio side follows opt.is_gate (net_avst_v2.py:580/589)
+            kw["use_gate"] = vis_use_gate
         for i in range(n_sites):
             sub = strip_prefix(
                 {k: v for k, v in sd.items() if k.startswith(f"{src}.{i}.")},
                 f"{src}.{i}.")
-            ap, abs_ = convert_moe_adapter(sub, **moe_kwargs)
+            ap, abs_ = convert_moe_adapter(sub, **kw)
             p[f"{dst}_{i}"] = ap
             if abs_:
                 bs[f"{dst}_{i}"] = abs_
@@ -539,3 +565,257 @@ def graft_backbones(
     if batch_stats:
         out["batch_stats"] = traverse_util.unflatten_dict(batch_stats)
     return out
+
+
+# ----------------------------------------------------------- AVS (Pred_endecoder)
+
+
+def _conv3d_1x1(p, sd, src: str, dst: str) -> None:
+    """torch Conv3d k=1 (O, I, 1, 1, 1) -> flax Dense kernel (I, O)."""
+    w = sd[f"{src}.weight"]
+    _set(p, f"{dst}/kernel", w.reshape(w.shape[0], w.shape[1]).T)
+    if f"{src}.bias" in sd:
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def convert_tpavi(p, bs, sd, src: str, dst: str) -> None:
+    """Reference TPAVIModule 'dot'/dim-3 (TPAVI.py:6-190) ->
+    heads.avs.TPAVIModule."""
+    _dense(p, sd, f"{src}.align_channel", f"{dst}/align_channel")
+    for nm in ("g", "theta", "phi"):
+        _conv3d_1x1(p, sd, f"{src}.{nm}", f"{dst}/{nm}")
+    # W_z = Sequential(Conv3d k1, BatchNorm3d); flax Conv kernel (1,1,1,I,O)
+    w = sd[f"{src}.W_z.0.weight"]
+    _set(p, f"{dst}/W_z_conv/kernel", w.transpose(2, 3, 4, 1, 0))
+    _set(p, f"{dst}/W_z_conv/bias", sd[f"{src}.W_z.0.bias"])
+    _bn(p, bs, sd, f"{src}.W_z.1", f"{dst}/W_z_bn")
+    _ln(p, sd, f"{src}.norm_layer", f"{dst}/norm_layer")
+
+
+def _residual_conv_unit(p, sd, src: str, dst: str) -> None:
+    _conv(p, sd, f"{src}.conv1", f"{dst}/conv1")
+    _conv(p, sd, f"{src}.conv2", f"{dst}/conv2")
+
+
+def convert_avs_temporal_attention(p, sd, src: str, dst: str) -> None:
+    """Reference AVS 4-scale TemporalAttention (PVT_AVSModel_v2.py:448-583) ->
+    heads.avs.MultiScaleTemporalAttention. The audio_decoder/video_decoder
+    stacks are converted-SKIPPED: the reference computes their outputs but
+    never uses them (only the encoder features feed the gates)."""
+    for i in range(4):
+        _dense(p, sd, f"{src}.v_fc.{i}", f"{dst}/v_fc_{i}")
+        convert_bilstm(p, sd, f"{src}.audio_visual_rnn_layer.{i}.audio_rnn",
+                       f"{dst}/audio_rnn_{i}")
+        convert_bilstm(p, sd, f"{src}.audio_visual_rnn_layer.{i}.visual_rnn",
+                       f"{dst}/visual_rnn_{i}")
+        for side in ("video", "audio"):
+            _dense(p, sd, f"{src}.{side}_encoder.{i}.affine_matrix",
+                   f"{dst}/{side}_enc_affine_{i}")
+            for j in range(2):
+                _enc_dec_layer(
+                    p, sd, f"{src}.{side}_encoder.{i}.encoder.layers.{j}",
+                    f"{dst}/{side}_encoder_{i}/layer_{j}", "self_attn", "self_attn")
+            _dense(p, sd, f"{src}.{side}_gated.{i}.0", f"{dst}/{side}_gated_{i}")
+
+
+def convert_pred_endecoder(
+    sd: Dict[str, np.ndarray],
+    *,
+    n_sites: int = 12,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+    tpavi_stages: Sequence[int] = (0, 1, 2, 3),
+    moe_kwargs: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """Full reference AVS Pred_endecoder state_dict (avs_s4/model/
+    PVT_AVSModel_v2.py:585-955; ms3 variant :772-1139) -> (params,
+    batch_stats) for models.avs.AVSModel. Unused reference modules are
+    dropped: encoder_backbone (pvt instantiated, never run), conv1-4
+    Classifier_Modules and x*_linear (the forward uses x*_linear_ instead),
+    and the temporal-attention decoder stacks."""
+    moe_kwargs = dict(moe_kwargs or {})
+    # AVS base_options defaults: is_bn=0, is_gate=0 (audio; vis stays gated);
+    # train_v2.sh: is_self_attention=1 (v1 = per-expert MultiheadAttention)
+    moe_kwargs.setdefault("use_bn", False)
+    moe_kwargs.setdefault("use_gate", False)
+    moe_kwargs.setdefault("self_attention", "mha")
+    ep, ebs = convert_lockstep_encoder(
+        sd, n_sites=n_sites, swin_depths=swin_depths,
+        htsat_depths=htsat_depths, moe_kwargs=moe_kwargs, vis_use_gate=True)
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    bs: Dict[Tuple[str, ...], np.ndarray] = {}
+    for i in range(4):
+        _dense(p, sd, f"x{i + 1}_linear_", f"stage_proj_{i}")
+    _dense(p, sd, "audio_linear", "audio_linear")
+    convert_avs_temporal_attention(p, sd, "temporal_attn", "temporal_attn")
+    for i in tpavi_stages:
+        convert_tpavi(p, bs, sd, f"tpavi_b{i + 1}", f"tpavi_b{i + 1}")
+    for i in range(4):
+        src = f"path{i + 1}"
+        _residual_conv_unit(p, sd, f"{src}.resConfUnit1", f"path_{i}/res1")
+        _residual_conv_unit(p, sd, f"{src}.resConfUnit2", f"path_{i}/res2")
+    _conv(p, sd, "output_conv.0", "out_conv1")
+    _conv(p, sd, "output_conv.2", "out_conv2")
+    _conv(p, sd, "output_conv.4", "out_conv3")
+    params: Dict = {"encoder": ep, **traverse_util.unflatten_dict(p)}
+    stats: Dict = {"encoder": ebs, **traverse_util.unflatten_dict(bs)}
+    return params, stats
+
+
+# ------------------------------------------------- AVVP grouping heads (MGN)
+
+
+def _grouping_mlp(p, sd, src: str, dst: str) -> None:
+    _dense(p, sd, f"{src}.fc1", f"{dst}/fc1")
+    _dense(p, sd, f"{src}.fc2", f"{dst}/fc2")
+
+
+def _proj_attn(p, sd, src: str, dst: str) -> None:
+    """grouping.py Attention / AssignAttention (separate q/k/v projections)."""
+    for nm in ("q_proj", "k_proj", "v_proj", "proj"):
+        _dense(p, sd, f"{src}.{nm}", f"{dst}/{nm}")
+
+
+def _fused_qkv_attn(p, sd, src: str, dst: str) -> None:
+    """grouping.py Attention with qkv_fuse=True (AttnBlock, grouping.py:515-522):
+    split the fused (3C, C) qkv weight into the separate q/k/v projections our
+    ProjAttention uses (row blocks are [q; k; v])."""
+    w = sd[f"{src}.qkv.weight"]
+    b = sd.get(f"{src}.qkv.bias")
+    C = w.shape[0] // 3
+    for i, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+        _set(p, f"{dst}/{nm}/kernel", w[i * C:(i + 1) * C].T)
+        if b is not None:
+            _set(p, f"{dst}/{nm}/bias", b[i * C:(i + 1) * C])
+    _dense(p, sd, f"{src}.proj", f"{dst}/proj")
+
+
+def convert_grouping_block(p, sd, src: str, dst: str) -> None:
+    """grouping.py GroupingBlock (:167-274) == GroupingBlock_Han (:276-380,
+    byte-identical class) -> heads.grouping.GroupingBlock."""
+    for ln in ("norm_tokens", "norm_post_tokens", "norm_x", "norm_new_x"):
+        _ln(p, sd, f"{src}.{ln}", f"{dst}/{ln}")
+    _grouping_mlp(p, sd, f"{src}.mlp_inter", f"{dst}/mlp_inter")
+    # pre_assign_attn is the post-norm CrossAttnBlock (norm_q/norm_k Identity)
+    _proj_attn(p, sd, f"{src}.pre_assign_attn.attn", f"{dst}/pre_assign_attn/attn")
+    _ln(p, sd, f"{src}.pre_assign_attn.norm2", f"{dst}/pre_assign_attn/norm2")
+    _ln(p, sd, f"{src}.pre_assign_attn.norm_post", f"{dst}/pre_assign_attn/norm_post")
+    _grouping_mlp(p, sd, f"{src}.pre_assign_attn.mlp", f"{dst}/pre_assign_attn/mlp")
+    _proj_attn(p, sd, f"{src}.assign", f"{dst}/assign")
+    _grouping_mlp(p, sd, f"{src}.mlp_channels", f"{dst}/mlp_channels")
+    if f"{src}.reduction.1.weight" in sd:  # Sequential(norm, Linear) when dim != out_dim
+        _ln(p, sd, f"{src}.reduction.0", f"{dst}/reduction_norm")
+        _set(p, f"{dst}/reduction_fc/kernel", sd[f"{src}.reduction.1.weight"].T)
+
+
+def convert_modality_trans(
+    sd: Dict[str, np.ndarray], *, depth: int, use_han: bool = False
+) -> Dict:
+    """grouping.py ModalityTrans (:662-775) -> heads.grouping.ModalityTrans."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    for i in range(depth):
+        src, dst = f"blocks.{i}", f"block_{i}"
+        _ln(p, sd, f"{src}.norm1", f"{dst}/norm1")
+        _fused_qkv_attn(p, sd, f"{src}.attn", f"{dst}/attn")
+        _ln(p, sd, f"{src}.norm2", f"{dst}/norm2")
+        _grouping_mlp(p, sd, f"{src}.mlp", f"{dst}/mlp")
+    if use_han:
+        convert_grouping_block(p, sd, "han_encoder", "han_encoder")
+    convert_grouping_block(p, sd, "grouping", "grouping")
+    return traverse_util.unflatten_dict(p)
+
+
+def convert_avqa_fusion_net(
+    sd: Dict[str, np.ndarray],
+    *,
+    n_sites: int = 12,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+    moe_kwargs: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """Full reference AVQA_Fusion_Net state_dict (AVQA/net_grd_avst/
+    net_avst_v2.py:443-833) -> (params, batch_stats) for
+    models.avqa.AVQAFusionModel. The reference's unused fc_a1_pure/fc_a2_pure,
+    norm3 and the grounding-gen visual_net are dropped."""
+    moe_kwargs = dict(moe_kwargs or {})
+    # AVQA base_options defaults: is_bn=0, is_gate=0 (audio; vis stays gated),
+    # num_conv_group=4; train_v2.sh: 1 multimodal + 2 singlemodal experts
+    moe_kwargs.setdefault("use_bn", False)
+    moe_kwargs.setdefault("use_gate", False)
+    moe_kwargs.setdefault("num_conv_group", 4)
+    moe_kwargs.setdefault("num_singlemodal", 2)
+    ren: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        for a, b in (("audio_adapter_blocks_", "audio_moe_adapter_blocks_"),
+                     ("vis_adapter_blocks_", "vis_moe_adapter_blocks_")):
+            if k.startswith(a):
+                k = b + k[len(a):]
+                break
+        ren[k] = v
+    ep, ebs = convert_lockstep_encoder(
+        ren, n_sites=n_sites, swin_depths=swin_depths,
+        htsat_depths=htsat_depths, moe_kwargs=moe_kwargs, vis_use_gate=True)
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for name in ("fc_a1", "fc_a2", "fc_gl", "fc_fusion", "fc_ans",
+                 "fc1", "fc2", "fc3", "fc4"):
+        _dense(flat, sd, name, name)
+    _set(flat, "question_encoder/word2vec/embedding",
+         sd["question_encoder.word2vec.weight"])
+    _lstm_dir(flat, sd, "question_encoder.lstm", "question_encoder/lstm", "")
+    _dense(flat, sd, "question_encoder.fc", "question_encoder/fc")
+    # question-as-query attention + flat FFN/norm params -> the attn_v/attn_a
+    # submodules (ref names: attn_v+linear11/12+norm1, attn_a+linear21/22+norm2)
+    for dst, mha_src, l1, l2, ln in (("attn_v", "attn_v", "linear11", "linear12", "norm1"),
+                                     ("attn_a", "attn_a", "linear21", "linear22", "norm2")):
+        _mha(flat, sd, mha_src, f"{dst}/attn", 4)
+        _dense(flat, sd, l1, f"{dst}/linear1")
+        _dense(flat, sd, l2, f"{dst}/linear2")
+        _ln(flat, sd, ln, f"{dst}/norm")
+    params: Dict = {"encoder": ep, **traverse_util.unflatten_dict(flat)}
+    return params, {"encoder": ebs}
+
+
+def convert_mgn_net(
+    sd: Dict[str, np.ndarray],
+    *,
+    n_sites: int = 12,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+    grouping_depths: Sequence[int] = (3, 3, 6),
+    moe_kwargs: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """Full reference MGN_Net state_dict (AVVP/nets/mgn.py:227-559) ->
+    (params, batch_stats) for models.avvp.MGNModel."""
+    moe_kwargs = dict(moe_kwargs or {})
+    moe_kwargs.setdefault("use_bn", False)           # AVVP train.sh is_bn=0
+    moe_kwargs.setdefault("self_attention", "bmm")   # mgn.py:132-146
+    # MGN names its adapter lists audio_adapter_blocks_p{1,2} /
+    # vis_adapter_blocks_p{1,2} (mgn.py:395-425); rename into the AVE scheme
+    # the lockstep converter expects.
+    ren: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        for a, b in (("audio_adapter_blocks_", "audio_moe_adapter_blocks_"),
+                     ("vis_adapter_blocks_", "vis_moe_adapter_blocks_")):
+            if k.startswith(a):
+                k = b + k[len(a):]
+                break
+        ren[k] = v
+    ep, ebs = convert_lockstep_encoder(
+        ren, n_sites=n_sites, swin_depths=swin_depths,
+        htsat_depths=htsat_depths, moe_kwargs=moe_kwargs)
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for name in ("fc_a", "fc_v", "fc_st", "fc_fusion",
+                 "fc_prob", "fc_prob_a", "fc_prob_v", "fc_cls"):
+        _dense(flat, sd, name, name)
+    _set(flat, "audio_token", sd["audio_token"])
+    _set(flat, "visual_token", sd["visual_token"])
+    params: Dict = {"encoder": ep, **traverse_util.unflatten_dict(flat)}
+    d_aud, d_vis, d_av = grouping_depths
+    for scope, depth, han in (("audio_cug", d_aud, True),
+                              ("visual_cug", d_vis, False),
+                              ("av_mcg", d_av, False)):
+        params[scope] = convert_modality_trans(
+            strip_prefix({k: v for k, v in sd.items()
+                          if k.startswith(f"{scope}.")}, f"{scope}."),
+            depth=depth, use_han=han)
+    return params, {"encoder": ebs}

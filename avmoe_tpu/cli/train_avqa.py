@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--label_train", type=str, default="json/avqa-train.json")
     p.add_argument("--label_val", type=str, default="json/avqa-val.json")
+    p.add_argument("--ques_vocab", type=str, default=None,
+                   help="ques_vocab.txt (one token/line, ref data/AVQA asset); "
+                        "auto-detected under data_root when present")
+    p.add_argument("--ans_vocab", type=str, default=None,
+                   help="ans_vocab.txt (one answer/line); auto-detected under "
+                        "data_root when present")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--mini", action="store_true",
@@ -62,9 +68,22 @@ def build_datasets(args, cfg):
         return mk(8 * args.batch_size, 0), mk(2 * args.batch_size, 1)
     import os
     train_json = os.path.join(args.data_root, args.label_train)
-    return (AVQADataset(args.data_root, train_json, train_json, cfg.swin.img_size),
+
+    def _vocab(flag, name):
+        if flag:
+            return flag
+        cand = os.path.join(args.data_root, name)
+        return cand if os.path.exists(cand) else None
+
+    vk = dict(ques_vocab_file=_vocab(args.ques_vocab, "ques_vocab.txt"),
+              ans_vocab_file=_vocab(args.ans_vocab, "ans_vocab.txt"))
+    if vk["ques_vocab_file"] or vk["ans_vocab_file"]:
+        log.info("AVQA vocab files: ques=%s ans=%s",
+                 vk["ques_vocab_file"], vk["ans_vocab_file"])
+    return (AVQADataset(args.data_root, train_json, train_json,
+                        cfg.swin.img_size, **vk),
             AVQADataset(args.data_root, os.path.join(args.data_root, args.label_val),
-                        train_json, cfg.swin.img_size))
+                        train_json, cfg.swin.img_size, **vk))
 
 
 def main():

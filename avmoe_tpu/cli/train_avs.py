@@ -70,6 +70,15 @@ def main():
                   sa_loss_flag=args.sa_loss_flag, lambda_1=args.lambda_1,
                   sa_loss_kind=args.sa_loss_kind, closer_loss=args.closer_loss,
                   sa_loss_stages=tuple(args.tpavi_stages) if args.sa_loss_flag else ())
+    if args.setting == "ms3":
+        # MS3 deltas (avs_ms3/train_v2.sh + base_options.py): latent-token
+        # "v2" expert self-attention and temporal gate gamma=0.1
+        import dataclasses as _dc
+
+        cfg = replace(
+            cfg, temporal_gamma=0.1,
+            moe=_dc.replace(cfg.moe, adapter=_dc.replace(
+                cfg.moe.adapter, self_attention="token")))
     tcfg = TrainConfig(batch_size=args.train_batch_size, accum_steps=args.accum_itr,
                        epochs=args.max_epoches, lr=args.lr, seed=args.seed)
 

@@ -139,7 +139,12 @@ class AdapterConfig:
     num_conv_group: int = 2       # grouped 1x1 bottleneck (train.sh: num_conv_group=2)
     num_tokens: int = 32          # latent tokens in cross-modal experts
     use_bn: bool = True           # train.sh: is_bn=1
-    use_gate: bool = True         # train.sh: is_gate=1
+    use_gate: bool = True         # AUDIO-side adapters follow is_gate (train.sh: 1)
+    # The reference hardcodes use_gate=True on every VIS-side adapter while the
+    # audio side follows opt.is_gate (net_trans_v3.py:604/614, net_avst_v2.py
+    # :580/589, PVT_AVSModel_v2.py:711/715) — asymmetric when is_gate=0
+    # (AVQA, AVS). vis_use_gate keeps the vis side independently configurable.
+    vis_use_gate: bool = True
     before_layernorm: bool = True  # train.sh: is_before_layernorm=1
     post_layernorm: bool = True    # train.sh: is_post_layernorm=1
     # unimodal-expert self-attention flavor:
@@ -158,6 +163,12 @@ class MoEConfig:
     num_singlemodal_experts: int = 1
     router_hidden: Tuple[int, int] = (128, 32)
     load_balance_loss: bool = False    # AVVP/AVS variants add KL-to-uniform LB loss
+    # Reference-exact LB magnitude: the reference's compute_load_balancing_loss
+    # (mgn.py:213-224) builds `uniform` from a (1, E) tensor's size(0)==1, so it
+    # actually computes -sum_e log(mean_p_e), not a KL. lb_loss_compat=True
+    # reproduces that buggy-but-published magnitude so reference-trained
+    # configs replicate exactly; False keeps the corrected KL-to-uniform.
+    lb_loss_compat: bool = False
     router_noise_std: float = 0.0      # AVS adds 0.01 gaussian noise at train time
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
 
@@ -269,7 +280,10 @@ class AVQAConfig:
     htsat: HTSATConfig = field(default_factory=HTSATConfig)
     moe: MoEConfig = field(default_factory=lambda: MoEConfig(
         num_multimodal_experts=1, num_singlemodal_experts=2,
-        adapter=AdapterConfig(num_tokens=2, use_gate=False),
+        # AVQA base_options.py defaults: is_bn=0, is_gate=0 (audio side only;
+        # vis adapters stay gated), num_conv_group=4; train_v2.sh: num_tokens=2
+        adapter=AdapterConfig(num_tokens=2, use_gate=False, use_bn=False,
+                              num_conv_group=4),
     ))
     injection: InjectionConfig = field(default_factory=lambda: InjectionConfig(num_skip=1))
 
@@ -283,7 +297,7 @@ def tiny_avqa_config() -> "AVQAConfig":
         moe=MoEConfig(
             num_multimodal_experts=1, num_singlemodal_experts=2,
             adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=2,
-                                  use_gate=False),
+                                  use_gate=False, use_bn=False),
         ),
         injection=InjectionConfig(num_skip=1),
     )
@@ -315,11 +329,20 @@ class AVSConfig:
     sa_loss_kind: str = "cosine"   # 'cosine' | 'euclidean' | 'kl' (MS3)
     closer_loss: bool = False      # nearest-audio pairing (MS3)
     lb_loss_weight: float = 1.0
+    # temporal-attention gate strength: S4 hardcodes 0.05
+    # (avs_s4/model/PVT_AVSModel_v2.py:451); MS3 exposes --gamma, default 0.1
+    # (avs_ms3/base_options.py:77, model :638)
+    temporal_gamma: float = 0.05
     swin: SwinV2Config = field(default_factory=SwinV2Config.large)
     htsat: HTSATConfig = field(default_factory=HTSATConfig)
     moe: MoEConfig = field(default_factory=lambda: MoEConfig(
         load_balance_loss=True, router_noise_std=0.01,
-        adapter=AdapterConfig(self_attention="mha"),
+        # AVS base_options.py defaults: is_bn=0, is_gate=0 (audio side only;
+        # vis adapters stay gated). num_tokens=87: the AVS MoEAdapter never
+        # forwards opt.num_tokens, so every expert keeps the num_tk=87
+        # ctor default (PVT_AVSModel_v2.py:255,266 vs the AVE ctor :605)
+        adapter=AdapterConfig(self_attention="mha", use_bn=False,
+                              use_gate=False, num_tokens=87),
     ))
     injection: InjectionConfig = field(default_factory=lambda: InjectionConfig(num_skip=1))
 
@@ -336,8 +359,11 @@ def tiny_avs_config() -> "AVSConfig":
         htsat=tiny_htsat(),
         moe=MoEConfig(
             load_balance_loss=True, router_noise_std=0.01,
-            adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=8,
-                                  self_attention="mha"),
+            # num_tokens=87 mirrors prod: the reference AVS adapters always
+            # use the num_tk=87 default (see AVSConfig note)
+            adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=87,
+                                  self_attention="mha", use_bn=False,
+                                  use_gate=False),
         ),
         injection=InjectionConfig(num_skip=1),
     )

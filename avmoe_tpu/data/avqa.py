@@ -52,16 +52,44 @@ def build_vocabs(train_json: str) -> Tuple[List[str], List[str]]:
     return ques_vocab, ans_vocab
 
 
+def load_vocab_file(path: str) -> List[str]:
+    """One token per line (the reference ships data/AVQA/ques_vocab.txt /
+    ans_vocab.txt in this format). Lines are stripped of the newline only;
+    leading/inner spaces are significant."""
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f if line.rstrip("\n")]
+
+
+def resolve_vocabs(
+    train_json: str,
+    ques_vocab_file: Optional[str] = None,
+    ans_vocab_file: Optional[str] = None,
+) -> Tuple[List[str], List[str]]:
+    """Shipped vocab files win over the on-the-fly JSON build (the reference
+    publishes fixed vocabularies whose index order its checkpoints depend on);
+    either file may be given independently, the other side falls back."""
+    ques = load_vocab_file(ques_vocab_file) if ques_vocab_file else None
+    ans = load_vocab_file(ans_vocab_file) if ans_vocab_file else None
+    if ques is None or ans is None:
+        built_q, built_a = build_vocabs(train_json)
+        ques = ques if ques is not None else built_q
+        ans = ans if ans is not None else built_a
+    return ques, ans
+
+
 class AVQADataset:
     NUM_SEGMENTS = 10
     AUDIO_LEN = 32_000
     MAX_QST_LEN = 14
 
     def __init__(self, root: str, label_json: str, train_json: str,
-                 img_size: int = 192, seed: int = 0):
+                 img_size: int = 192, seed: int = 0,
+                 ques_vocab_file: Optional[str] = None,
+                 ans_vocab_file: Optional[str] = None):
         self.root = root
         self.img_size = img_size
-        self.ques_vocab, self.ans_vocab = build_vocabs(train_json)
+        self.ques_vocab, self.ans_vocab = resolve_vocabs(
+            train_json, ques_vocab_file, ans_vocab_file)
         self.word_to_ix = {w: i for i, w in enumerate(self.ques_vocab)}
         self.samples = json.load(open(label_json))
         self.video_list = sorted({s["video_id"] for s in self.samples})

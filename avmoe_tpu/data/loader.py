@@ -36,6 +36,12 @@ class BatchLoader:
         pair with `parallel.mesh.shard_batch_per_host` to assemble the global
         jax.Array from the per-host shards."""
         assert batch_size % process_count == 0, (batch_size, process_count)
+        # A partial final batch cannot be sliced per-host (the slice for high
+        # process_index is short/empty and shard_batch_per_host's global
+        # shape would be wrong); multi-host loading requires drop_last.
+        assert process_count == 1 or drop_last, (
+            "drop_last=False is unsupported with process_count > 1: the final "
+            "partial batch cannot be evenly sliced across hosts")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

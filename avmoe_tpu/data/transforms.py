@@ -24,6 +24,22 @@ def _use_pil_decode() -> bool:
     return os.environ.get("AVMOE_PIL_DECODE", "0") == "1"
 
 
+_decode_path_logged = False
+
+
+def _log_decode_path_once(path_name: str) -> None:
+    """Log which decode/resize path is active so pixel-level accuracy deltas
+    vs the reference are traceable (cv2 differs from PIL on downscale)."""
+    global _decode_path_logged
+    if not _decode_path_logged:
+        _decode_path_logged = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "image decode path: %s (AVMOE_PIL_DECODE=1 forces the "
+            "reference-exact PIL bicubic resize)", path_name)
+
+
 def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
     """Decode + resize + ImageNet normalize -> (H, W, 3) float32.
 
@@ -35,6 +51,7 @@ def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
 
             bgr = cv2.imread(path, cv2.IMREAD_COLOR)
             if bgr is not None:
+                _log_decode_path_once("cv2 (fast)")
                 interp = (cv2.INTER_AREA
                           if bgr.shape[0] > size[1] and bgr.shape[1] > size[0]
                           else cv2.INTER_CUBIC)
@@ -45,6 +62,7 @@ def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
             pass
     from PIL import Image
 
+    _log_decode_path_once("PIL bicubic (reference-exact)")
     with Image.open(path) as im:
         im = im.convert("RGB").resize(size, Image.BICUBIC)
         arr = np.asarray(im, dtype=np.float32) / 255.0

@@ -52,15 +52,18 @@ def _linear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     return m
 
 
-def resize_bicubic(x: jax.Array, h: int, w: int) -> jax.Array:
-    """(B, H, W, C) bicubic (align_corners=True, torch kernel) resize."""
+def resize_bicubic(x: jax.Array, h: int, w: int,
+                   align_corners: bool = False) -> jax.Array:
+    """(B, H, W, C) bicubic (torch kernel) resize. The AVS decoder's
+    F.interpolate calls leave align_corners at its False default
+    (PVT_AVSModel_v2.py:793,903-906)."""
     from avmoe_tpu.audio.frontend import bicubic_resize_matrix
 
     B, H, W, C = x.shape
     if H == h and W == w:
         return x
-    mh = jnp.asarray(bicubic_resize_matrix(H, h))
-    mw = jnp.asarray(bicubic_resize_matrix(W, w))
+    mh = jnp.asarray(bicubic_resize_matrix(H, h, align_corners))
+    mw = jnp.asarray(bicubic_resize_matrix(W, w, align_corners))
     x = jnp.einsum("oh,bhwc->bowc", mh, x)
     return jnp.einsum("ow,bhwc->bhoc", mw, x)
 
@@ -82,12 +85,20 @@ class ASPPClassifier(nn.Module):
 
 
 class ResidualConvUnit(nn.Module):
+    """conv2(relu(conv1(relu(x)))) + relu(x).
+
+    The residual is relu(x), NOT x: the reference (:350-381) uses
+    nn.ReLU(inplace=True), so `out = self.relu(x)` mutates the caller's
+    tensor before `out + x` — the skip path sees the relu'd activation
+    (and the caller's feature_map_list entry is mutated to relu(x), see
+    FeatureFusionBlock/AVSModel)."""
+
     features: int
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        x = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(x)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
         return out + x
@@ -130,7 +141,9 @@ class TPAVIModule(nn.Module):
             a = None
             audio_bcast = x
 
-        g_x = nn.Dense(inter, name="g")(audio_bcast).reshape(B, T * H * W, inter)
+        # g and theta act on the VISUAL stream; phi on the (broadcast) audio
+        # (ref TPAVI.py:102-118: g_x = g(x), theta_x = theta(x), phi = phi(audio))
+        g_x = nn.Dense(inter, name="g")(x).reshape(B, T * H * W, inter)
         theta = nn.Dense(inter, name="theta")(x).reshape(B, T * H * W, inter)
         phi = nn.Dense(inter, name="phi")(audio_bcast).reshape(B, T * H * W, inter)
 

@@ -59,14 +59,17 @@ def yb_loss(all_prob, audio_idx, vis_idx, target, *, exp: bool = False,
         a_neg_v, v_neg_v = jnp.exp(a_neg_v), jnp.exp(v_neg_v)
 
     B_main = all_prob.shape[0] - n
-    # scatter pooled bags to their batch rows (last write wins, as in the ref
-    # loop where a later pair can overwrite an earlier one's slot)
+    # scatter pooled bags to their batch rows. Only SELECTED pairs write (the
+    # ref loop's `if sel:` body); among selected duplicates the LAST write
+    # wins, matching the loop order. jnp .at[].set is implementation-defined
+    # for duplicate indices, so last-write-wins is made explicit via a
+    # one-hot argmax over pairs (n and B are a handful of rows here).
     def scatter(idx, vals):
-        out = jnp.zeros((B_main, C), vals.dtype)
-        mask = jnp.zeros((B_main,), bool)
-        out = out.at[idx].set(jnp.where(sel[:, None], vals, out[idx]))
-        mask = mask.at[idx].set(sel | mask[idx])
-        return out, mask
+        oh = (idx[:, None] == jnp.arange(B_main)[None, :]) & sel[:, None]  # (n, B)
+        row_mask = oh.any(0)                                               # (B,)
+        last = (n - 1) - jnp.argmax(oh[::-1], axis=0)                      # (B,)
+        out = jnp.where(row_mask[:, None], vals[last], 0.0)
+        return out, row_mask
 
     a_pos, a_m = scatter(audio_idx, a_pos_v)
     v_pos, v_m = scatter(vis_idx, v_pos_v)

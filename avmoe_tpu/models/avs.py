@@ -42,7 +42,8 @@ class AVSModel(nn.Module):
             nn.Dense(c.channel, name=f"stage_proj_{i}") for i in range(n_stages)]
         self.audio_linear = nn.Dense(128, name="audio_linear")
         self.temporal_attn = MultiScaleTemporalAttention(
-            d_model=c.channel, num_segments=c.num_segments, name="temporal_attn")
+            d_model=c.channel, num_segments=c.num_segments,
+            gamma=c.temporal_gamma, name="temporal_attn")
         self.tpavi = {
             i: TPAVIModule(in_channels=c.channel, name=f"tpavi_b{i + 1}")
             for i in c.tpavi_stages
@@ -105,6 +106,10 @@ class AVSModel(nn.Module):
         conv43 = self.paths[2](conv4, maps[2])
         conv432 = self.paths[1](conv43, maps[1])
         conv4321 = self.paths[0](conv432, maps[0])
+        # the reference's ResidualConvUnit relu(inplace=True) mutates each
+        # feature_map_list entry to relu(x) as the paths consume them; the
+        # returned list (used by the masked-AV losses) carries that mutation
+        maps = [nn.relu(m) for m in maps]
 
         x = self.out_conv1(conv4321)
         x = resize_bilinear(x, x.shape[1] * 2, x.shape[2] * 2, align_corners=False)

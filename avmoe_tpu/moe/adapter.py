@@ -158,10 +158,18 @@ class UnimodalExpert(nn.Module):
                  split_tail: bool = False) -> jax.Array:
         del other  # unimodal: the other modality is ignored
         if self.cfg.self_attention == "mha":
-            x = nn.MultiHeadDotProductAttention(
+            # The reference feeds (B', N, C) into a default (batch_first=False)
+            # torch MultiheadAttention (PVT_AVSModel_v2.py:210-214), so torch
+            # reads it as (seq=frames B', batch=tokens N, embed): the expert
+            # attends ACROSS the frame/batch axis at each token index, not
+            # over tokens. Replicated faithfully via a transpose. NOTE: this
+            # mixes samples across the batch — exactly as the reference does.
+            x_t = x.transpose(1, 0, 2)  # (N, B', C)
+            x_t = nn.MultiHeadDotProductAttention(
                 num_heads=4, dropout_rate=0.2, deterministic=not train,
                 dtype=self.dtype, name="self_attention",
-            )(x, x)
+            )(x_t, x_t)
+            x = x_t.transpose(1, 0, 2)
         elif self.cfg.self_attention == "bmm":
             # AVVP-style gated dot-product self-attention (mgn.py:132-146):
             # att[i,j] = softmax_j(x_i . x_j); res_j = sum_i att[i,j] x_i
@@ -412,16 +420,18 @@ class MoEAdapter(nn.Module):
             "expert_index": jnp.argmax(probs, axis=-1),   # (B,)
         }
         if self.cfg.load_balance_loss:
-            # KL(uniform || mean gate probs) with batchmean reduction.
-            # DELIBERATE deviation from the reference: its
-            # compute_load_balancing_loss (ref: mgn.py:213-224) keeps mean_p
-            # as shape (1, E), so its `uniform = 1/size(0)` is 1.0 and
-            # 'batchmean' divides by 1 - the reference effectively computes
-            # -sum(log mean_p), not a KL. We keep the corrected KL (the
-            # intended regularizer); loss MAGNITUDES therefore won't match
-            # reference runs at the same lb weight.
+            # Default: corrected KL(uniform || mean gate probs). The
+            # reference's compute_load_balancing_loss (ref: mgn.py:213-224)
+            # keeps mean_p as shape (1, E), so its `uniform = 1/size(0)` is
+            # 1.0 and 'batchmean' divides by 1 - it effectively computes
+            # -sum(log mean_p), not a KL. cfg.lb_loss_compat=True reproduces
+            # that reference-exact magnitude (for replicating published
+            # configs); False keeps the intended regularizer.
             E = self.cfg.num_experts
             mean_p = jnp.clip(probs.mean(axis=0), 1e-9, 1.0)  # (E,)
-            u = 1.0 / E
-            aux["lb_loss"] = jnp.sum(u * (jnp.log(u) - jnp.log(mean_p))) / E
+            if self.cfg.lb_loss_compat:
+                aux["lb_loss"] = -jnp.sum(jnp.log(mean_p))
+            else:
+                u = 1.0 / E
+                aux["lb_loss"] = jnp.sum(u * (jnp.log(u) - jnp.log(mean_p))) / E
         return out, aux

@@ -139,13 +139,25 @@ class LockstepEncoder(nn.Module):
                 policy=remat_policy(self.swin_cfg.remat_policy))
 
         def make_adapters(prefix: str, audio_side: bool):
+            # vis-side adapters keep their own gate flag: the reference
+            # hardcodes use_gate=True there while audio follows is_gate
+            # (net_trans_v3.py:604/614, net_avst_v2.py:580/589)
+            moe_cfg = self.moe_cfg
+            if not audio_side and (moe_cfg.adapter.vis_use_gate
+                                   != moe_cfg.adapter.use_gate):
+                import dataclasses
+
+                moe_cfg = dataclasses.replace(
+                    moe_cfg, adapter=dataclasses.replace(
+                        moe_cfg.adapter,
+                        use_gate=moe_cfg.adapter.vis_use_gate))
             return [
                 adapter_cls(
                     dim=s.aud_dim if audio_side else s.vis_dim,
                     other_dim=s.vis_dim if audio_side else s.aud_dim,
                     num_tokens=s.aud_tokens if audio_side else s.vis_tokens,
                     other_num_tokens=s.vis_tokens if audio_side else s.aud_tokens,
-                    cfg=self.moe_cfg,
+                    cfg=moe_cfg,
                     dtype=self.dtype,
                     name=f"{prefix}_{s.site_index}",
                 )

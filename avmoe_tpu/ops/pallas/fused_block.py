@@ -318,6 +318,10 @@ def _run_mlp_only(x, params, g: ChainGeom, interpret: bool):
     sublane-dim rewrites)."""
     B, NT, C = x.shape
     rows = B * NT
+    # grid=(rows//RB,) covers every row only when rows is a multiple of the
+    # row block; a remainder would leave the output tail unwritten (garbage).
+    assert rows % 8 == 0, (
+        f"_run_mlp_only requires B*NT ({rows}) to be a multiple of 8")
     target = max(4 * 1024 * 1024 // max(g.mlp_hidden * 4, 1), 8)
     RB = 8
     for cand in range(8, rows + 1, 8):

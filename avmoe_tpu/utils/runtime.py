@@ -23,9 +23,15 @@ def apply_platform_override() -> None:
 
 def enable_compilation_cache(directory: Optional[str] = None) -> None:
     """Persistent XLA compilation cache (first compile is 20-40s on TPU;
-    cached reloads are near-instant)."""
-    directory = directory or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    cached reloads are near-instant).
+
+    Precedence: explicit arg > JAX_COMPILATION_CACHE_DIR env (lets tooling
+    measure true cold-cache compile walls without touching the repo cache) >
+    the repo-local `.jax_cache/`."""
+    directory = (directory
+                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.join(os.path.dirname(os.path.dirname(
+                     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -193,6 +193,10 @@ def install_stubs() -> None:
         return
     _stub("ipdb", set_trace=lambda *a, **k: None)
     _stub("librosa")
+    # net_avst_v2.py imports torchvision.models but never uses it (its
+    # resnet18 comes from the vendored visual_net.py)
+    tv_models = _stub("torchvision.models")
+    _stub("torchvision", models=tv_models)
     _stub("loralib")
     _stub("resampy")
     _stub("soundfile")
@@ -212,6 +216,31 @@ def load_ref_module(sys_path: str, module: str) -> types.ModuleType:
     if sys_path not in sys.path:
         sys.path.insert(0, sys_path)
     return importlib.import_module(module)
+
+
+def load_ref_tree(sys_path: str, module: str,
+                  top_packages=("nets",)) -> types.ModuleType:
+    """Import `module` from `sys_path`, isolating top-level package name
+    collisions: AVE, AVVP and AVQA all define a `nets` package, so previously
+    imported `nets.*` entries are stashed, the import runs with `sys_path`
+    first on the path, and afterwards the new entries are removed and the
+    stash restored (the returned module object keeps its own references)."""
+    install_stubs()
+
+    def _mine(name: str) -> bool:
+        return any(name == p or name.startswith(p + ".") for p in top_packages)
+
+    stash = {k: sys.modules.pop(k) for k in list(sys.modules) if _mine(k)}
+    sys.path.insert(0, sys_path)
+    try:
+        mod = importlib.import_module(module)
+    finally:
+        sys.path.remove(sys_path)
+        for k in list(sys.modules):
+            if _mine(k):
+                del sys.modules[k]
+        sys.modules.update(stash)
+    return mod
 
 
 def load_ref_file(path: str, name: str) -> types.ModuleType:

@@ -79,7 +79,7 @@ def test_chunked_forward_whole_block(version, shift):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_full_model_chunked_block_matches():
+def test_full_model_chunked_block_matches(monkeypatch):
     """Tiny AVE eval forward: AVMOE_CHUNK_BLOCK on vs off."""
     from avmoe_tpu.config import tiny_ave_config
     from avmoe_tpu.models.ave import AVEModel
@@ -93,9 +93,9 @@ def test_full_model_chunked_block_matches():
                                   ).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), wave, imgs)
 
-    os.environ["AVMOE_CHUNK_BLOCK"] = "0"
+    monkeypatch.setenv("AVMOE_CHUNK_BLOCK", "0")
     ref = model.apply(variables, wave, imgs)
-    os.environ["AVMOE_CHUNK_BLOCK"] = "1"
+    monkeypatch.setenv("AVMOE_CHUNK_BLOCK", "1")
     out = model.apply(variables, wave, imgs)
     np.testing.assert_allclose(np.asarray(out["event_logits"]),
                                np.asarray(ref["event_logits"]),
@@ -134,7 +134,7 @@ def test_train_remat_chunked_grads_match():
                                    rtol=1e-4, atol=1e-4, err_msg=str(ka))
 
 
-def test_full_model_attn_state_matches():
+def test_full_model_attn_state_matches(monkeypatch):
     """Tiny AVE eval forward: AVMOE_CHUNK_ATTN_STATE on vs off."""
     from avmoe_tpu.config import tiny_ave_config
     from avmoe_tpu.models.ave import AVEModel
@@ -148,9 +148,9 @@ def test_full_model_attn_state_matches():
                                   ).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), wave, imgs)
 
-    os.environ["AVMOE_CHUNK_ATTN_STATE"] = "0"
+    monkeypatch.setenv("AVMOE_CHUNK_ATTN_STATE", "0")
     ref = model.apply(variables, wave, imgs)
-    os.environ["AVMOE_CHUNK_ATTN_STATE"] = "1"
+    monkeypatch.setenv("AVMOE_CHUNK_ATTN_STATE", "1")
     out = model.apply(variables, wave, imgs)
     np.testing.assert_allclose(np.asarray(out["event_logits"]),
                                np.asarray(ref["event_logits"]),

@@ -48,3 +48,68 @@ def test_determinism_per_index():
                              img_size=4, num_classes=3)
     a, b = ds[2], ds[2]
     np.testing.assert_array_equal(a["wave"], b["wave"])
+
+
+# ------------------------------------------------- multi-host batch slicing
+
+
+class _IndexDataset:
+    """Items carry their index so slices are checkable."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.full((3,), i, np.int64)}
+
+
+def test_multihost_slices_partition_each_batch():
+    """Every host collates a disjoint contiguous 1/process_count slice of the
+    SAME seeded global batch (loader.py process_index/count; ref baseline:
+    single-node DataParallel split, AVVP/main.py:420-421)."""
+    n, global_bs, hosts = 16, 8, 4
+    per_host = []
+    for pi in range(hosts):
+        loader = BatchLoader(_IndexDataset(n), global_bs, shuffle=True, seed=7,
+                             num_workers=1, process_index=pi,
+                             process_count=hosts)
+        per_host.append([b["idx"][:, 0] for b in loader])
+    nb = n // global_bs
+    local = global_bs // hosts
+    for bi in range(nb):
+        combined = np.concatenate([per_host[pi][bi] for pi in range(hosts)])
+        assert combined.shape == (global_bs,)
+        # disjoint cover: the union across hosts is exactly one global batch
+        assert len(set(combined.tolist())) == global_bs
+        for pi in range(hosts):
+            assert per_host[pi][bi].shape == (local,)
+    # all hosts see the same number of batches
+    assert {len(p) for p in per_host} == {nb}
+
+
+def test_multihost_requires_drop_last():
+    with pytest.raises(AssertionError, match="drop_last"):
+        BatchLoader(_IndexDataset(8), 4, drop_last=False,
+                    process_index=0, process_count=2)
+
+
+def test_multihost_global_batch_must_divide():
+    with pytest.raises(AssertionError):
+        BatchLoader(_IndexDataset(8), 6, process_index=0, process_count=4)
+
+
+def test_shard_batch_per_host_single_process_degenerates():
+    """On a 1-process (CPU test) runtime shard_batch_per_host == shard_batch:
+    the global dp-sharded array equals the input batch."""
+    import jax
+
+    from avmoe_tpu.parallel.mesh import make_mesh, shard_batch_per_host
+
+    mesh = make_mesh(model=1)
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+    out = shard_batch_per_host(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec("data")

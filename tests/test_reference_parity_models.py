@@ -1,0 +1,456 @@
+"""End-to-end task-model parity against the reference's OWN PyTorch code.
+
+Extends tests/test_reference_parity.py (which covers losses, the MoE adapter
+fabric, backbones and the AVE MMIL lockstep path) to the remaining three task
+models, each run at tiny dims with random weights converted through
+checkpoint.convert:
+
+  * MGN_Net            (ref: AVMOE/AVVP/nets/mgn.py:227-559)
+  * AVQA_Fusion_Net    (ref: AVMOE/AVQA/net_grd_avst/net_avst_v2.py:443-833)
+  * Pred_endecoder     (ref: AVMOE/AVS/avs_scripts/avs_s4/model/
+                        PVT_AVSModel_v2.py:585-955), s4 + ms3 settings
+
+Together with the MMIL test this closes activation-level accuracy parity for
+all four task families within this environment (real pretrained weights and
+datasets are not available here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from reference_harness import REF_ROOT, load_ref_tree  # noqa: E402
+
+from test_reference_parity import _allclose, _randomize_torch, _t  # noqa: E402
+
+
+def _patch_esc_tiny(monkeypatch, esc, cfg):
+    """Pin an esc_config module copy to the tiny HTS-AT geometry (the task
+    model ctors read module-global state; see the MMIL test for the AVE copy)."""
+    fe = cfg.htsat.frontend
+    for attr, val in (("htsat_spec_size", cfg.htsat.spec_size),
+                      ("htsat_patch_size", cfg.htsat.patch_size),
+                      ("htsat_window_size", cfg.htsat.window_size),
+                      ("htsat_dim", cfg.htsat.embed_dim),
+                      ("htsat_depth", list(cfg.htsat.depths)),
+                      ("htsat_num_head", list(cfg.htsat.num_heads)),
+                      ("htsat_stride", cfg.htsat.patch_stride),
+                      ("mel_bins", fe.n_mels),
+                      ("fmin", fe.fmin), ("fmax", fe.fmax),
+                      ("sample_rate", fe.sample_rate),
+                      ("hop_size", fe.hop_length),
+                      ("window_size", fe.n_fft),
+                      ("enable_tscam", True)):
+        monkeypatch.setattr(esc, attr, val, raising=False)
+
+
+def _patch_backbones(monkeypatch, net, esc, cfg):
+    """Redirect the ctor's HTSAT construction + checkpoint load and timm
+    swin creation to tiny randomly-initialized models (the ctor hardcodes
+    full-scale audioset constants and checkpoint paths)."""
+    from torch_swinv2 import SwinTransformerV2
+
+    fe = cfg.htsat.frontend
+    real_htsat_cls = net.HTSAT_Swin_Transformer
+    captured = {}
+
+    def patched_htsat(**kw):
+        esc.sample_rate = fe.sample_rate
+        esc.hop_size = fe.hop_length
+        esc.window_size = fe.n_fft
+        m = real_htsat_cls(**kw)
+        captured["ckpt"] = {f"sed_model.{k}": v.clone()
+                            for k, v in m.state_dict().items()}
+        return m
+
+    monkeypatch.setattr(net, "HTSAT_Swin_Transformer", patched_htsat)
+    monkeypatch.setattr(torch, "load",
+                        lambda *a, **k: {"state_dict": captured["ckpt"]})
+    monkeypatch.setattr(
+        net.timm, "create_model",
+        lambda name, pretrained=True: SwinTransformerV2(
+            img_size=cfg.swin.img_size, patch_size=cfg.swin.patch_size,
+            embed_dim=cfg.swin.embed_dim, depths=cfg.swin.depths,
+            num_heads=cfg.swin.num_heads, window_size=cfg.swin.window_size))
+
+
+# ---------------------------------------------------------------- AVVP (MGN)
+
+
+def test_mgn_net_matches_reference(monkeypatch):
+    """Runs the reference's OWN MGN_Net forward (mgn.py:478-559) - lockstep
+    backbones + per-block MoE adapters + the three grouping stacks (audio CUG
+    with the HAN cross-modal encoder, visual CUG, AV MCG) - at tiny dims and
+    compares every output head against MGNModel with weights converted via
+    convert_mgn_net. B=1 because the reference's token-mean/permute treats
+    batch*segments as one sequence (mgn.py:517-519 is only [B,10,C] for B=1)."""
+    import dataclasses
+    import types as _types
+
+    net = load_ref_tree(f"{REF_ROOT}/AVVP", "nets.mgn")
+    esc = net.esc_config
+
+    from avmoe_tpu.config import replace, tiny_avvp_config
+
+    cfg = tiny_avvp_config()
+    # T=10: the reference HAN grouping hardcodes 10 group tokens
+    # (grouping.py:714 num_group_token=10), which must equal the segment count
+    cfg = replace(cfg, num_segments=10,
+                  moe=dataclasses.replace(cfg.moe, lb_loss_compat=True))
+    _patch_esc_tiny(monkeypatch, esc, cfg)
+    _patch_backbones(monkeypatch, net, esc, cfg)
+
+    opt = _types.SimpleNamespace(
+        dim=cfg.dim, unimodal_assign="soft", crossmodal_assign="soft",
+        depth_aud=cfg.depth_aud, depth_vis=cfg.depth_vis, depth_av=cfg.depth_av,
+        checkpoint_path="/nonexistent", backbone_type="audioset",
+        is_audio_adapter_p1=True, is_audio_adapter_p2=True,
+        Adapter_downsample=cfg.moe.adapter.downsample,
+        is_bn=cfg.moe.adapter.use_bn, is_gate=cfg.moe.adapter.use_gate,
+        num_tokens=cfg.moe.adapter.num_tokens,
+        num_conv_group=cfg.moe.adapter.num_conv_group,
+        is_before_layernorm=cfg.moe.adapter.before_layernorm,
+        is_post_layernorm=cfg.moe.adapter.post_layernorm,
+        num_multimodal_experts=cfg.moe.num_multimodal_experts,
+        num_singlemodal_experts=cfg.moe.num_singlemodal_experts,
+        use_load_balacing_loss=1)
+
+    torch.manual_seed(0)
+    model = net.MGN_Net(opt)
+    # the reference head hardcodes full-scale feature dims (fc_a 768, fc_v
+    # 1536, fc_st 512 - mgn.py:234-236); re-size for the tiny encoder
+    model.fc_a = torch.nn.Linear(cfg.htsat.num_features, cfg.dim)
+    model.fc_v = torch.nn.Linear(cfg.swin.num_features, cfg.dim)
+    model.fc_st = torch.nn.Linear(cfg.st_dim, cfg.dim)
+    model.eval()
+    _randomize_torch(model, 13)
+
+    B, T = 1, cfg.num_segments
+    rng = np.random.RandomState(4)
+    wave = (rng.randn(B, T, cfg.audio_len) * 0.1).astype(np.float32)
+    imgs = rng.rand(B, T, 3, cfg.swin.img_size, cfg.swin.img_size).astype(np.float32)
+    st = rng.randn(B, T, cfg.st_dim).astype(np.float32)
+    with torch.no_grad():
+        (aud_cls_ref, vis_cls_ref, global_ref, a_ref, v_ref,
+         a_frame_ref, v_frame_ref, lb_ref) = model(_t(wave), _t(imgs), _t(st))
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_mgn_net, torch_state_dict_to_numpy)
+    from avmoe_tpu.models.avvp import MGNModel
+
+    mine = MGNModel(cfg)
+    params, batch_stats = convert_mgn_net(
+        torch_state_dict_to_numpy(model.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        grouping_depths=(cfg.depth_aud, cfg.depth_vis, cfg.depth_av))
+    out = jax.jit(lambda v, w, im, s: mine.apply(v, w, im, s, train=False))(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(wave), jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(st))
+
+    _allclose(aud_cls_ref, out["aud_cls_logits"], rtol=2e-3, atol=1e-3)
+    _allclose(vis_cls_ref, out["vis_cls_logits"], rtol=2e-3, atol=1e-3)
+    _allclose(global_ref, out["global_prob"], rtol=2e-3, atol=1e-3)
+    _allclose(a_ref, out["a_prob"], rtol=2e-3, atol=1e-3)
+    _allclose(v_ref, out["v_prob"], rtol=2e-3, atol=1e-3)
+    _allclose(a_frame_ref, out["a_frame_prob"], rtol=2e-3, atol=1e-3)
+    _allclose(v_frame_ref, out["v_frame_prob"], rtol=2e-3, atol=1e-3)
+    # load-balance total: cfg.moe.lb_loss_compat reproduces the reference's
+    # -sum(log mean_p) magnitude (mgn.py:213-224); summed over all 48 sites
+    _allclose(lb_ref, out["telemetry"]["lb_loss"], rtol=2e-3, atol=1e-3)
+
+
+# --------------------------------------------------------------------- AVQA
+
+
+def test_avqa_fusion_net_matches_reference(monkeypatch):
+    """Runs the reference's OWN AVQA_Fusion_Net forward (net_avst_v2.py:
+    609-833) - lockstep encoder + frozen-negative path + LSTM question
+    encoder + grounding/match heads + question-as-query fusion - at tiny dims
+    and compares every output against AVQAFusionModel with weights converted
+    via convert_avqa_fusion_net."""
+    import types as _types
+
+    net = load_ref_tree(
+        f"{REF_ROOT}/AVQA/net_grd_avst", "net_avst_v2",
+        top_packages=("net_avst_v2", "visual_net", "htsat", "esc_config",
+                      "utils", "layers", "base_options"))
+    esc = net.esc_config
+
+    from avmoe_tpu.config import tiny_avqa_config
+
+    cfg = tiny_avqa_config()
+    d = cfg.d_feat
+    _patch_esc_tiny(monkeypatch, esc, cfg)
+    _patch_backbones(monkeypatch, net, esc, cfg)
+
+    # the forward hardcodes the full-scale 6x6 final grid
+    # (net_avst_v2.py:722 rearrange h=6 w=6); recompute from the tensor
+    real_rearrange = net.rearrange
+
+    def patched_rearrange(x, pattern, **kw):
+        if pattern == "(b t) (h w) c -> b t c h w":
+            s = int(round((x.shape[1]) ** 0.5))
+            kw["h"] = s
+            kw["w"] = s
+        return real_rearrange(x, pattern, **kw)
+
+    monkeypatch.setattr(net, "rearrange", patched_rearrange)
+
+    # ...and 1536-dim reshapes (net_avst_v2.py:807,818 view(B, -1, 1536));
+    # remap to the tiny d only when 1536 cannot be the true trailing dim
+    orig_view = torch.Tensor.view
+
+    def patched_view(self, *shape):
+        if (shape and isinstance(shape[-1], int) and shape[-1] == 1536
+                and self.numel() % 1536 != 0):
+            shape = shape[:-1] + (d,)
+        return orig_view(self, *shape)
+
+    monkeypatch.setattr(torch.Tensor, "view", patched_view)
+
+    opt = _types.SimpleNamespace(
+        backbone_type="audioset", num_skip=cfg.injection.num_skip,
+        is_audio_adapter_p1=True, is_audio_adapter_p2=True,
+        Adapter_downsample=cfg.moe.adapter.downsample,
+        is_bn=cfg.moe.adapter.use_bn, is_gate=cfg.moe.adapter.use_gate,
+        num_tokens=cfg.moe.adapter.num_tokens,
+        num_conv_group=cfg.moe.adapter.num_conv_group,
+        is_before_layernorm=cfg.moe.adapter.before_layernorm,
+        is_post_layernorm=cfg.moe.adapter.post_layernorm,
+        is_self_attention=False,
+        num_multimodal_experts=cfg.moe.num_multimodal_experts,
+        num_singlemodal_experts=cfg.moe.num_singlemodal_experts,
+        avqa_fc_class=cfg.fc_class)
+
+    torch.manual_seed(0)
+    model = net.AVQA_Fusion_Net(opt)
+    # the reference ctor hardcodes 1536-dim heads (net_avst_v2.py:450-494);
+    # re-size for the tiny encoder (d_feat == tiny num_features == 128)
+    L = torch.nn.Linear
+    model.fc_a1 = L(cfg.htsat.num_features, d)
+    model.fc_a2 = L(d, d)
+    model.fc_gl = L(2 * d, d)
+    model.fc_fusion = L(2 * d, d)
+    model.linear11, model.linear12 = L(d, d), L(d, d)
+    model.linear21, model.linear22 = L(d, d), L(d, d)
+    model.norm1 = torch.nn.LayerNorm(d)
+    model.norm2 = torch.nn.LayerNorm(d)
+    model.attn_v = torch.nn.MultiheadAttention(d, 4, dropout=0.1)
+    model.attn_a = torch.nn.MultiheadAttention(d, 4, dropout=0.1)
+    model.question_encoder = net.QstEncoder(
+        cfg.qst_vocab, cfg.word_embed, d, 1, cfg.qst_hidden)
+    model.fc_ans = L(d, cfg.fc_class)
+    model.fc1 = L(2 * d, 512)
+    model.eval()
+    _randomize_torch(model, 17)
+
+    B, T = 1, cfg.num_segments
+    rng = np.random.RandomState(5)
+    wave = (rng.randn(B, T, cfg.audio_len) * 0.1).astype(np.float32)
+    posi = rng.rand(B, T, 3, cfg.swin.img_size, cfg.swin.img_size).astype(np.float32)
+    nega = rng.rand(B, T, 3, cfg.swin.img_size, cfg.swin.img_size).astype(np.float32)
+    question = rng.randint(0, cfg.qst_vocab, (B, cfg.max_qst_len))
+    with torch.no_grad():
+        qa_ref, match_posi_ref, match_nega_ref, _ = model(
+            _t(wave), _t(posi), _t(nega),
+            torch.from_numpy(question).long(), None, stage="eval")
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_avqa_fusion_net, torch_state_dict_to_numpy)
+    from avmoe_tpu.models.avqa import AVQAFusionModel
+
+    mine = AVQAFusionModel(cfg)
+    params, batch_stats = convert_avqa_fusion_net(
+        torch_state_dict_to_numpy(model.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        moe_kwargs=dict(num_multimodal=cfg.moe.num_multimodal_experts,
+                        num_singlemodal=cfg.moe.num_singlemodal_experts,
+                        num_conv_group=cfg.moe.adapter.num_conv_group,
+                        use_bn=cfg.moe.adapter.use_bn,
+                        use_gate=cfg.moe.adapter.use_gate))
+    out = jax.jit(lambda v, w, p_, n_, q: mine.apply(
+        v, w, p_, n_, q, train=False))(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(wave), jnp.asarray(posi.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(nega.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(question.astype(np.int32)))
+
+    _allclose(qa_ref, out["qa_logits"], rtol=2e-3, atol=1e-3)
+    _allclose(match_posi_ref, out["match_posi"], rtol=2e-3, atol=1e-3)
+    _allclose(match_nega_ref, out["match_nega"], rtol=2e-3, atol=1e-3)
+
+
+# ------------------------------------------------------------- AVS (S4+MS3)
+
+
+@pytest.mark.parametrize("setting", ["s4", "ms3"])
+def test_avs_pred_endecoder_matches_reference(monkeypatch, setting):
+    """Runs the reference's OWN Pred_endecoder forward (avs_s4/model/
+    PVT_AVSModel_v2.py:786-948; ms3 variant :964-1139) - lockstep encoder
+    with noisy-router MoE adapters (eval: no noise), per-stage projections,
+    4-scale temporal attention, TPAVI on all stages, FPN fusion, mask head -
+    at tiny dims and compares mask logits + per-stage features against
+    AVSModel with weights converted via convert_pred_endecoder. The ms3
+    variant exercises the "v2" latent-token expert self-attention and
+    gamma=0.1 temporal gates (avs_ms3/train_v2.sh)."""
+    import dataclasses
+    import types as _types
+
+    net = load_ref_tree(f"{REF_ROOT}/AVS/avs_scripts/avs_{setting}",
+                        "model.PVT_AVSModel_v2", top_packages=("model",))
+    esc = net.esc_config
+
+    from avmoe_tpu.config import replace, tiny_avs_config
+
+    cfg = tiny_avs_config()
+    # channel=256 keeps the reference's hardcoded TemporalAttention dims
+    # (PVT_AVSModel_v2.py:451-453: 256/128) valid; tiny img/audio otherwise
+    sa_kind = "mha" if setting == "s4" else "token"
+    cfg = replace(cfg, channel=256, img_size=cfg.swin.img_size,
+                  setting=setting,
+                  temporal_gamma=0.05 if setting == "s4" else 0.1,
+                  moe=dataclasses.replace(
+                      cfg.moe, lb_loss_compat=True,
+                      adapter=dataclasses.replace(
+                          cfg.moe.adapter, self_attention=sa_kind)))
+    T = cfg.num_segments
+    _patch_esc_tiny(monkeypatch, esc, cfg)
+    _patch_backbones(monkeypatch, net, esc, cfg)
+    # pvt-v2-b5 is instantiated but never run (PVT_AVSModel_v2.py:630,
+    # forward encodes with swin); skip the 80M-param build
+    monkeypatch.setattr(net, "pvt_v2_b5", lambda: torch.nn.Identity())
+
+    # remap the forward's full-scale spatial literals to the tiny geometry:
+    # stage grids 48/24/12/6 -> 16/8/4/2, pyramid 56/28/14/7 -> cfg.pyramid,
+    # input resize 192 -> tiny img, 5 frames -> T
+    res0 = cfg.swin.patches_resolution[0]
+    grid_map = {48: res0, 24: res0 // 2, 12: res0 // 4, 6: res0 // 8}
+    size_map = {192: cfg.swin.img_size, 56: cfg.pyramid_sizes[0],
+                28: cfg.pyramid_sizes[1], 14: cfg.pyramid_sizes[2],
+                7: cfg.pyramid_sizes[3]}
+
+    class _FProxy:
+        def __getattr__(self, k):
+            return getattr(torch.nn.functional, k)
+
+        @staticmethod
+        def interpolate(x, **kw):
+            size = kw.get("size")
+            if isinstance(size, list) and size and size[0] in size_map:
+                kw["size"] = [size_map[s] for s in size]
+            return torch.nn.functional.interpolate(x, **kw)
+
+    monkeypatch.setattr(net, "F", _FProxy())
+
+    real_rearrange = net.rearrange
+
+    def patched_rearrange(x, pattern, **kw):
+        if kw.get("t") == 5:
+            kw["t"] = T
+        return real_rearrange(x, pattern, **kw)
+
+    monkeypatch.setattr(net, "rearrange", patched_rearrange)
+
+    def _fix_shape(self, shape):
+        import math
+
+        if (len(shape) == 4 and isinstance(shape[1], int)
+                and shape[1] == shape[2] and shape[1] in grid_map
+                and self.numel() % (shape[1] * shape[2]) != 0):
+            return (shape[0], grid_map[shape[1]], grid_map[shape[2]], shape[3])
+        n = math.prod(s for s in shape if isinstance(s, int) and s > 0)
+        fits = (self.numel() == n if -1 not in shape
+                else self.numel() % max(n, 1) == 0)
+        if fits or T == 5:
+            return shape
+        # literal frame-count 5 somewhere in the shape -> T
+        new = tuple(T if s == 5 else s for s in shape)
+        n = math.prod(s for s in new if isinstance(s, int) and s > 0)
+        if (self.numel() == n if -1 not in new else self.numel() % max(n, 1) == 0):
+            return new
+        # folded bs*5 leading dim (e.g. reshape(bs*5, 1, 1, 1))
+        if isinstance(shape[0], int) and shape[0] % 5 == 0:
+            new = (shape[0] // 5 * T,) + tuple(shape[1:])
+            n = math.prod(s for s in new if isinstance(s, int) and s > 0)
+            if (self.numel() == n if -1 not in new
+                    else self.numel() % max(n, 1) == 0):
+                return new
+        return shape
+
+    orig_view, orig_reshape = torch.Tensor.view, torch.Tensor.reshape
+    monkeypatch.setattr(torch.Tensor, "view",
+                        lambda self, *s: orig_view(self, *_fix_shape(self, s)))
+    monkeypatch.setattr(torch.Tensor, "reshape",
+                        lambda self, *s: orig_reshape(self, *_fix_shape(self, s)))
+
+    opt = _types.SimpleNamespace(
+        backbone_type="audioset", root_path="", num_skip=cfg.injection.num_skip,
+        Adapter_downsample=cfg.moe.adapter.downsample,
+        is_bn=cfg.moe.adapter.use_bn, is_gate=cfg.moe.adapter.use_gate,
+        num_tokens=cfg.moe.adapter.num_tokens,
+        num_conv_group=cfg.moe.adapter.num_conv_group,
+        is_before_layernorm=cfg.moe.adapter.before_layernorm,
+        is_post_layernorm=cfg.moe.adapter.post_layernorm,
+        is_self_attention=True,
+        self_attention_version="v1" if setting == "s4" else "v2",
+        gamma=cfg.temporal_gamma,
+        num_multimodal_experts=cfg.moe.num_multimodal_experts,
+        num_singlemodal_experts=cfg.moe.num_singlemodal_experts,
+        use_load_balacing_loss=1)
+
+    config = _types.SimpleNamespace(TRAIN=_types.SimpleNamespace(
+        PRETRAINED_PVTV2_PATH="/nonexistent"))
+    torch.manual_seed(0)
+    model = net.Pred_endecoder(
+        channel=cfg.channel, opt=opt, config=config,
+        tpavi_stages=list(cfg.tpavi_stages), tpavi_vv_flag=cfg.tpavi_vv_flag,
+        tpavi_va_flag=cfg.tpavi_va_flag)
+    # the ctor hardcodes full-scale stage dims (x*_linear_ 192..1536 -> 256,
+    # audio_linear 768 -> 128); re-size for the tiny encoder
+    L = torch.nn.Linear
+    dims = [cfg.swin.embed_dim * 2 ** i for i in range(4)]
+    model.x1_linear_ = L(dims[0], cfg.channel)
+    model.x2_linear_ = L(dims[1], cfg.channel)
+    model.x3_linear_ = L(dims[2], cfg.channel)
+    model.x4_linear_ = L(dims[3], cfg.channel)
+    model.audio_linear = L(cfg.htsat.num_features, 128)
+    model.eval()
+    _randomize_torch(model, 23)
+
+    B = 1
+    rng = np.random.RandomState(6)
+    wave = (rng.randn(B, T, cfg.audio_len) * 0.1).astype(np.float32)
+    imgs = rng.rand(B, T, 3, cfg.swin.img_size, cfg.swin.img_size).astype(np.float32)
+    with torch.no_grad():
+        outs = model(_t(imgs), _t(wave), None, is_training=False)
+        # s4 returns 3 extra trailing features the ms3 forward dropped
+        pred_ref, fmap_ref, afea_ref, _idx, _probs, lb_ref = outs[:6]
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_pred_endecoder, torch_state_dict_to_numpy)
+    from avmoe_tpu.models.avs import AVSModel
+
+    mine = AVSModel(cfg)
+    params, batch_stats = convert_pred_endecoder(
+        torch_state_dict_to_numpy(model.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        tpavi_stages=cfg.tpavi_stages,
+        moe_kwargs=dict(num_multimodal=cfg.moe.num_multimodal_experts,
+                        num_singlemodal=cfg.moe.num_singlemodal_experts,
+                        num_conv_group=cfg.moe.adapter.num_conv_group,
+                        self_attention=sa_kind))
+    out = jax.jit(lambda v, im, w: mine.apply(v, im, w, train=False))(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)), jnp.asarray(wave))
+
+    _allclose(pred_ref[:, 0], out["mask_logits"], rtol=2e-3, atol=2e-3)
+    for i in range(4):
+        _allclose(fmap_ref[i].permute(0, 2, 3, 1), out["feature_map_list"][i],
+                  rtol=2e-3, atol=2e-3)
+        _allclose(afea_ref[i], out["a_fea_list"][i], rtol=2e-3, atol=1e-3)
+    _allclose(lb_ref, out["telemetry"]["lb_loss"], rtol=2e-3, atol=1e-3)

@@ -126,6 +126,24 @@ def make_avqa(root: str, n: int = 4, img: int = 64) -> None:
                       ("avqa-val.json", samples[cut:]),
                       ("avqa-test.json", samples[cut:])):
         json.dump(sel, open(os.path.join(root, name), "w"))
+    # shipped vocab files (ref asset format: /root/reference/data/AVQA/
+    # {ques,ans}_vocab.txt, one token per line) - the CLI auto-detects these,
+    # exercising the fixed-vocabulary path the reference checkpoints use
+    ques = ["<pad>"]
+    for s in samples:
+        words = s["question_content"].rstrip().split(" ")
+        words[-1] = words[-1][:-1]
+        vals = [s["templ_values"][2:-2]]
+        p = 0
+        for w in words:
+            w2 = vals[p] if "<" in w else w
+            p += 1 if "<" in w else 0
+            if w2 not in ques:
+                ques.append(w2)
+    with open(os.path.join(root, "ques_vocab.txt"), "w") as f:
+        f.write("\n".join(ques) + "\n")
+    with open(os.path.join(root, "ans_vocab.txt"), "w") as f:
+        f.write("\n".join(["one", "two"]) + "\n")
     for i, v in enumerate(vids):
         r = _rng(200 + i)
         for t in range(1, 17):  # linspace-sampled by the reader
