@@ -60,40 +60,61 @@ class GroupedDense(nn.Module):
 class _Bottleneck(nn.Module):
     """down-project -> BN -> [ReLU] -> up-project -> BN (shared by both expert
     flavors; the cross-modal expert activates between the projections, the
-    unimodal one does not - matching net_trans_v3.py:395-422)."""
+    unimodal one does not - matching net_trans_v3.py:395-422).
+
+    setup-style so the experts' fused eval path can fold the preceding
+    LayerNorm into `down`'s kernel (`down_kernel`) and continue from a
+    bottleneck-rank z (`finish`) without ever materializing their
+    (E, B, N, C) trunk streams. Param paths (down/bn1/up/bn2) are unchanged."""
 
     dim: int
     cfg: AdapterConfig
     use_activation: bool
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, *, train: bool = False, split_tail: bool = False):
+    def setup(self):
         hidden = max(self.dim // self.cfg.downsample, self.cfg.num_conv_group)
-        z = GroupedDense(hidden, self.cfg.num_conv_group, dtype=self.dtype, name="down")(x)
+        self.down = GroupedDense(hidden, self.cfg.num_conv_group, dtype=self.dtype)
+        self.up = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype)
         if self.cfg.use_bn:
-            z = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(z)
+            self.bn1 = BatchNorm(momentum=0.9, dtype=self.dtype)
+            self.bn2 = BatchNorm(momentum=0.9, dtype=self.dtype)
+
+    def down_kernel(self) -> jax.Array:
+        """(g, C/g, h/g) down-projection kernel, for LN-folded fused trunks."""
+        return self.down(jnp.zeros((1, self.dim), self.dtype), kernel_only=True)
+
+    def __call__(self, x, *, train: bool = False, split_tail: bool = False):
+        z = self.down(x)
+        if self.cfg.use_bn:
+            z = self.bn1(z, use_running_average=not train)
+        return self.finish(z, train=train, split_tail=split_tail,
+                           apply_bn1=False)
+
+    def finish(self, z, *, train: bool = False, split_tail: bool = False,
+               apply_bn1: bool = True):
+        """Continue from bottleneck activations z: [bn1] -> [relu] -> tail."""
+        if self.cfg.use_bn and apply_bn1:
+            z = self.bn1(z, use_running_average=not train)
         if self.use_activation:
             z = nn.relu(z)
-        up = GroupedDense(self.dim, self.cfg.num_conv_group, dtype=self.dtype, name="up")
         if split_tail:
             # fused gated combine (eval): hand back the bottleneck activations
             # plus the tail's folded affine terms; MoEAdapter contracts the up
             # projection against the gate-weighted z in ONE grouped GEMM
             # instead of materializing E stream-sized expert outputs.
             assert not train
-            up_kernel = up(z, kernel_only=True)          # (g, h/g, C/g)
+            up_kernel = self.up(z, kernel_only=True)     # (g, h/g, C/g)
             if self.cfg.use_bn:
-                bn2_w, bn2_b = BatchNorm(
-                    use_running_average=True, momentum=0.9, dtype=self.dtype,
-                    name="bn2")(jnp.zeros((1, self.dim), self.dtype), affine_only=True)
+                bn2_w, bn2_b = self.bn2(
+                    jnp.zeros((1, self.dim), self.dtype), True, affine_only=True)
             else:
                 bn2_w = jnp.ones((self.dim,), jnp.float32)
                 bn2_b = jnp.zeros((self.dim,), jnp.float32)
             return z, (up_kernel, bn2_w, bn2_b)
-        out = up(z)
+        out = self.up(z)
         if self.cfg.use_bn:
-            out = BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
+            out = self.bn2(out, use_running_average=not train)
         return out
 
 
@@ -123,20 +144,24 @@ class CrossModalExpert(nn.Module):
         ).astype(self.dtype)
         rep = rep + jnp.einsum("btm,bmc->btc", att_o2t, other.astype(self.dtype))
         # x <- latent tokens
-        att_t2x = jax.nn.softmax(
-            jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
-                       preferred_element_type=pet),
-            axis=-1,
-        ).astype(self.dtype)
+        att_logits = jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
+                                preferred_element_type=pet)
+        att_t2x = jax.nn.softmax(att_logits, axis=-1).astype(self.dtype)
+        bottleneck = _Bottleneck(self.dim, self.cfg, use_activation=True,
+                                 dtype=self.dtype, name="bottleneck")
+        if split_tail:
+            # fused trunk: the gated latent-attention delta and ln_before fold
+            # into the down projection (see _fused_trunk_z) — the per-expert
+            # (B, N, C) trunk stream never hits HBM
+            z = _fused_trunk_z(self, bottleneck, x,
+                               delta_attn=(rep, att_t2x, att_logits, gate_av),
+                               dtype=self.dtype)
+            z, tail = bottleneck.finish(z, train=False, split_tail=True)
+            return _tail_dict(self, z, tail, self.dim, self.dtype)
         x = x + gate_av.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
 
         if self.cfg.before_layernorm:
             x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
-        bottleneck = _Bottleneck(self.dim, self.cfg, use_activation=True,
-                                 dtype=self.dtype, name="bottleneck")
-        if split_tail:
-            z, tail = bottleneck(x, train=train, split_tail=True)
-            return _tail_dict(self, z, tail, self.dim, self.dtype)
         out = bottleneck(x, train=train)
         if self.cfg.post_layernorm:
             out = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(out)
@@ -157,6 +182,15 @@ class UnimodalExpert(nn.Module):
     def __call__(self, x: jax.Array, other: jax.Array, train: bool = False,
                  split_tail: bool = False) -> jax.Array:
         del other  # unimodal: the other modality is ignored
+        bottleneck = _Bottleneck(self.dim, self.cfg, use_activation=False,
+                                 dtype=self.dtype, name="bottleneck")
+        if split_tail and self.cfg.self_attention == "none":
+            # fused trunk (eval): ln_before folds into the down kernel; the
+            # per-expert LN'd (B, N, C) stream never hits HBM (the row stats
+            # of the shared x stay unbatched under nn.vmap)
+            z = _fused_trunk_z(self, bottleneck, x, dtype=self.dtype)
+            z, tail = bottleneck.finish(z, train=False, split_tail=True)
+            return _tail_dict(self, z, tail, self.dim, self.dtype)
         if self.cfg.self_attention == "mha":
             # The reference feeds (B', N, C) into a default (batch_first=False)
             # torch MultiheadAttention (PVT_AVSModel_v2.py:210-214), so torch
@@ -196,15 +230,20 @@ class UnimodalExpert(nn.Module):
                            preferred_element_type=pet), axis=-1
             ).astype(self.dtype)
             rep = rep + jnp.einsum("btn,bnc->btc", att_x2t, x.astype(self.dtype))
-            att_t2x = jax.nn.softmax(
-                jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
-                           preferred_element_type=pet), axis=-1
-            ).astype(self.dtype)
+            att_logits = jnp.einsum("bnc,btc->bnt", x.astype(self.dtype), rep,
+                                    preferred_element_type=pet)
+            att_t2x = jax.nn.softmax(att_logits, axis=-1).astype(self.dtype)
+            if split_tail:
+                # same latent-attention trunk algebra as the cross-modal expert
+                z = _fused_trunk_z(
+                    self, bottleneck, x,
+                    delta_attn=(rep, att_t2x, att_logits, gate_self),
+                    dtype=self.dtype)
+                z, tail = bottleneck.finish(z, train=False, split_tail=True)
+                return _tail_dict(self, z, tail, self.dim, self.dtype)
             x = x + gate_self.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
         if self.cfg.before_layernorm:
             x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_before")(x)
-        bottleneck = _Bottleneck(self.dim, self.cfg, use_activation=False,
-                                 dtype=self.dtype, name="bottleneck")
         if split_tail:
             z, tail = bottleneck(x, train=train, split_tail=True)
             return _tail_dict(self, z, tail, self.dim, self.dtype)
@@ -214,6 +253,77 @@ class UnimodalExpert(nn.Module):
         if self.cfg.use_gate:
             out = self.param("gate", nn.initializers.zeros, (1,)).astype(self.dtype) * out
         return out
+
+
+def _fused_trunk_z(module, bottleneck: _Bottleneck, x: jax.Array, *,
+                   delta_attn=None, dtype) -> jax.Array:
+    """Bottleneck-rank trunk (eval): z = down(ln_before(x + delta)) computed
+    WITHOUT materializing the per-expert (B, N, C) trunk stream.
+
+    delta_attn: None (plain trunk, delta = 0) or (rep, A, P, gate) describing
+    a gated latent-token attention delta  d = gate * A @ rep  with
+    A = softmax(P), P = x . rep^T  (the cross-modal / 'token' expert trunks).
+
+    Algebra: with LN params (s, b) and grouped down kernel D,
+      down(LN(x + d)) = inv ⊙ [ (x + d) @ (s∘D) - mu (s @ D) ] + b @ D
+    where (x + d) @ (s∘D) = x @ (s∘D) + gate * A @ (rep @ (s∘D))  — rank-T —
+    and the LN row stats (mu, inv) come from closed-form moments:
+      sum_c d   = gate * A @ rowsum(rep)
+      sum_c x d = gate * sum_t A ⊙ P
+      sum_c d^2 = gate^2 * A G A^T rows,  G = rep rep^T  (rank-T^2)
+    Under nn.vmap the x-only pieces (x sums, x @ ...) stay unbatched and are
+    shared across experts; only rank-h/T tensors carry the expert axis."""
+    B, N, C = x.shape
+    eps = 1e-5
+    D = bottleneck.down_kernel()                        # (g, i, oh) f32 param
+    g_, i_, oh = D.shape
+    if module.cfg.before_layernorm:
+        s, b = LayerNorm(epsilon=eps, dtype=dtype, name="ln_before")(
+            jnp.zeros((1, C), dtype), params_only=True)
+        Dw = (D * s.reshape(g_, i_)[..., None]).astype(dtype)
+        zb = jnp.einsum("gi,gio->go", b.reshape(g_, i_).astype(jnp.float32),
+                        D).reshape(-1)                  # (h,) f32
+        sD = jnp.einsum("gi,gio->go", s.reshape(g_, i_).astype(jnp.float32),
+                        D).reshape(-1)                  # (h,) f32
+    else:
+        Dw = D.astype(dtype)
+    xg = x.astype(dtype).reshape(B, N, g_, i_)
+    xD = jnp.einsum("bngi,gio->bngo", xg, Dw).reshape(B, N, g_ * oh)
+
+    if delta_attn is None:
+        if not module.cfg.before_layernorm:
+            return xD
+        sx = jnp.sum(x, -1, dtype=jnp.float32)
+        sx2 = jnp.sum(jnp.square(x.astype(jnp.float32)), -1)
+        mu = sx / C
+        var = jnp.maximum(sx2 / C - jnp.square(mu), 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        z = (xD.astype(jnp.float32) - mu[..., None] * sD) * inv[..., None] + zb
+        return z.astype(dtype)
+
+    rep, A, P, gate = delta_attn
+    ga = gate.astype(jnp.float32).reshape(())
+    Tt = rep.shape[1]
+    repg = rep.astype(dtype).reshape(B, Tt, g_, i_)
+    repD = jnp.einsum("btgi,gio->btgo", repg, Dw).reshape(B, Tt, g_ * oh)
+    attn_term = ga.astype(dtype) * jnp.einsum(
+        "bnt,bth->bnh", A.astype(dtype), repD)
+    if not module.cfg.before_layernorm:
+        return (xD + attn_term).astype(dtype)
+    A32 = A.astype(jnp.float32)
+    rep32 = rep.astype(jnp.float32)
+    sx = jnp.sum(x, -1, dtype=jnp.float32)
+    sx2 = jnp.sum(jnp.square(x.astype(jnp.float32)), -1)
+    mu = (sx + ga * jnp.einsum("bnt,bt->bn", A32, rep32.sum(-1))) / C
+    xdot = jnp.einsum("bnt,bnt->bn", A32, P.astype(jnp.float32))
+    G = jnp.einsum("btc,buc->btu", rep32, rep32)        # (B, T, T)
+    quad = jnp.einsum("bnt,btu,bnu->bn", A32, G, A32)
+    sq = (sx2 + 2.0 * ga * xdot + jnp.square(ga) * quad) / C
+    var = jnp.maximum(sq - jnp.square(mu), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    z = ((xD + attn_term).astype(jnp.float32)
+         - mu[..., None] * sD) * inv[..., None] + zb
+    return z.astype(dtype)
 
 
 def _tail_dict(module, z, tail, dim: int, dtype) -> dict:

@@ -73,3 +73,43 @@ def test_fused_combine_matches_unfused(use_bn, post_ln, dtype):
         denom = max(np.abs(ref_f).max(), 1e-3)
         assert np.abs(out_f - ref_f).max() / denom < 0.05, (
             np.abs(out_f - ref_f).max(), denom)
+
+
+@pytest.mark.parametrize("sa", ["none", "token", "bmm", "mha"])
+@pytest.mark.parametrize("before_ln", [True, False])
+def test_fused_trunk_variants(sa, before_ln):
+    """Round-3 fused TRUNK (ln_before folded into the down kernel; latent
+    -attention deltas at rank T): parity vs the materialized trunk across
+    unimodal self-attention flavors and the before_layernorm flag. 'bmm' and
+    'mha' fall back to the materialized trunk - included to pin the fallback."""
+    cfg = MoEConfig(
+        num_multimodal_experts=2, num_singlemodal_experts=2,
+        adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=4,
+                              use_bn=True, post_layernorm=True,
+                              before_layernorm=before_ln, self_attention=sa))
+    B, N, C, M, Co = 2, 24, 32, 16, 48
+    adapter = MoEAdapter(dim=C, other_dim=Co, num_tokens=N, other_num_tokens=M,
+                         cfg=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
+    other = jnp.asarray(rng.normal(0, 1, (B, M, Co)).astype(np.float32))
+
+    variables = adapter.init(jax.random.PRNGKey(0), x, other, False)
+    params = _randomize(variables["params"], rng)
+    vars_r = {"params": params}
+    if "batch_stats" in variables:
+        vars_r["batch_stats"] = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.abs(rng.normal(0.5, 0.2, a.shape)
+                                         ).astype(np.float32)),
+            variables["batch_stats"])
+
+    os.environ["AVMOE_FUSED_MOE"] = "0"
+    ref, _ = adapter.apply(vars_r, x, other, False)
+    os.environ["AVMOE_FUSED_MOE"] = "1"
+    try:
+        out, _ = adapter.apply(vars_r, x, other, False)
+    finally:
+        os.environ["AVMOE_FUSED_MOE"] = "0"
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-4, atol=3e-4)
