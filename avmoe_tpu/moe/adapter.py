@@ -99,15 +99,32 @@ class _Bottleneck(nn.Module):
         if self.use_activation:
             z = nn.relu(z)
         if split_tail:
-            # fused gated combine (eval): hand back the bottleneck activations
-            # plus the tail's folded affine terms; MoEAdapter contracts the up
+            # fused gated combine: hand back the bottleneck activations plus
+            # the tail's folded affine terms; MoEAdapter contracts the up
             # projection against the gate-weighted z in ONE grouped GEMM
             # instead of materializing E stream-sized expert outputs.
-            assert not train
             up_kernel = self.up(z, kernel_only=True)     # (g, h/g, C/g)
             if self.cfg.use_bn:
-                bn2_w, bn2_b = self.bn2(
-                    jnp.zeros((1, self.dim), self.dtype), True, affine_only=True)
+                if train:
+                    # bn2's BATCH stats of o = z @ U in closed form from z's
+                    # first/second moments (o itself is never materialized):
+                    # mean_c = mean(z) @ U ; E[o_c^2] = u_c^T E[z z^T] u_c
+                    g_, i_, _o = up_kernel.shape
+                    zf = z.astype(jnp.float32).reshape(-1, g_, i_)
+                    rows = zf.shape[0]
+                    mz = zf.mean(axis=0)                            # (g, i)
+                    mean = jnp.einsum("gi,gio->go", mz, up_kernel).reshape(-1)
+                    M = jnp.einsum("rgi,rgj->gij", zf, zf) / rows   # (g, i, i)
+                    sq = jnp.einsum("gio,gij,gjo->go", up_kernel, M,
+                                    up_kernel).reshape(-1)
+                    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+                    bn2_w, bn2_b = self.bn2(
+                        jnp.zeros((1, self.dim), self.dtype), False,
+                        affine_only=True, stats_override=(mean, var))
+                else:
+                    bn2_w, bn2_b = self.bn2(
+                        jnp.zeros((1, self.dim), self.dtype), True,
+                        affine_only=True)
             else:
                 bn2_w = jnp.ones((self.dim,), jnp.float32)
                 bn2_b = jnp.zeros((self.dim,), jnp.float32)
@@ -156,7 +173,7 @@ class CrossModalExpert(nn.Module):
             z = _fused_trunk_z(self, bottleneck, x,
                                delta_attn=(rep, att_t2x, att_logits, gate_av),
                                dtype=self.dtype)
-            z, tail = bottleneck.finish(z, train=False, split_tail=True)
+            z, tail = bottleneck.finish(z, train=train, split_tail=True)
             return _tail_dict(self, z, tail, self.dim, self.dtype)
         x = x + gate_av.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
 
@@ -189,7 +206,7 @@ class UnimodalExpert(nn.Module):
             # per-expert LN'd (B, N, C) stream never hits HBM (the row stats
             # of the shared x stay unbatched under nn.vmap)
             z = _fused_trunk_z(self, bottleneck, x, dtype=self.dtype)
-            z, tail = bottleneck.finish(z, train=False, split_tail=True)
+            z, tail = bottleneck.finish(z, train=train, split_tail=True)
             return _tail_dict(self, z, tail, self.dim, self.dtype)
         if self.cfg.self_attention == "mha":
             # The reference feeds (B', N, C) into a default (batch_first=False)
@@ -239,7 +256,7 @@ class UnimodalExpert(nn.Module):
                     self, bottleneck, x,
                     delta_attn=(rep, att_t2x, att_logits, gate_self),
                     dtype=self.dtype)
-                z, tail = bottleneck.finish(z, train=False, split_tail=True)
+                z, tail = bottleneck.finish(z, train=train, split_tail=True)
                 return _tail_dict(self, z, tail, self.dim, self.dtype)
             x = x + gate_self.astype(self.dtype) * jnp.einsum("bnt,btc->bnc", att_t2x, rep)
         if self.cfg.before_layernorm:
@@ -416,6 +433,18 @@ def use_fused_moe() -> bool:
     return os.environ.get("AVMOE_FUSED_MOE", "0") == "1"
 
 
+def use_fused_moe_train() -> bool:
+    """TRAIN-time fused expert combine (env AVMOE_FUSED_MOE_TRAIN=1): the same
+    bottleneck-rank algebra; BatchNorm BATCH statistics (bn2 over the never
+    -materialized up-projection) come from closed-form second moments of z,
+    with the usual running-average updates. Gradients flow through the stats
+    exactly as in the materialized path (value+grad parity tested in
+    tests/test_fused_moe.py)."""
+    import os
+
+    return os.environ.get("AVMOE_FUSED_MOE_TRAIN", "0") == "1"
+
+
 def _vmap_experts(module_cls, num: int, **kwargs):
     """Stack `num` expert instances along a leading parameter axis; inputs are
     broadcast, outputs stacked -> one batched GEMM per expert layer."""
@@ -499,7 +528,8 @@ class MoEAdapter(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)
 
         # --- dense expert mixture -------------------------------------------
-        fused = use_fused_moe() and not train and not self.is_initializing()
+        fused = not self.is_initializing() and (
+            use_fused_moe_train() if train else use_fused_moe())
         outs = []
         if self.cfg.num_multimodal_experts > 0:
             mm = _vmap_experts(

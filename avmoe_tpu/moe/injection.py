@@ -232,47 +232,26 @@ class LockstepEncoder(nn.Module):
                 lb_losses.append(aux["lb_loss"])
             return out, aux
 
-        # Fused Pallas block-chains (eval only): consecutive backbone blocks
-        # between adapter seams run as one VMEM-resident megakernel.
-        from avmoe_tpu.ops.pallas.fused_block import run_chain, use_fused_blocks
         from avmoe_tpu.ops.swin import use_chunked_attn_state, use_chunked_block
 
-        fused = (
-            use_fused_blocks() and not train and not self.is_initializing()
-        )
         # Whole-block lax.map chunking (eval): attention + norms + MLP +
         # residuals per window chunk, VMEM-resident. Adapter seams are served
         # by passing the p1 residual into the body and reading back the
         # mid-block state for p2 (the adapter branches are data-parallel with
         # the backbone sub-blocks; see VERDICT round-2 perf notes).
         chunked = (
-            use_chunked_block() and not fused and not train
-            and not self.is_initializing()
+            use_chunked_block() and not train and not self.is_initializing()
         )
         # Attention-state chunking (eval default): qkv + attention + proj +
         # norm1 + residual (+ p1 delta) in ONE mapped body per block - a
         # single stream output, so none of the whole-block seam regression -
         # while the MLP keeps the efficient full-batch XLA GEMMs.
         attn_state = (
-            use_chunked_attn_state() and not fused and not chunked
+            use_chunked_attn_state() and not chunked
             and not train and not self.is_initializing()
         )
 
-        # pending runs of adapter-free visual blocks, flushed as one chain
-        v_pending: List[int] = []
-
-        def flush_v(f_v):
-            nonlocal v_pending
-            if not v_pending:
-                return f_v
-            blocks = [self.swin.blocks[i] for i in v_pending]
-            v_pending = []
-            return run_chain(blocks, f_v)
-
         def v_block(f_v, idx):
-            if fused:
-                v_pending.append(idx)
-                return f_v
             if chunked:
                 return self.swin.blocks[idx].chunked_forward(f_v, train=train)
             if attn_state:
@@ -284,15 +263,11 @@ class LockstepEncoder(nn.Module):
         def v_part(f_v, idx, part):
             """Apply one visual sub-block (attn|mlp), returning the NEW state
             (x + residual)."""
-            if fused:
-                return run_chain([self.swin.blocks[idx]], f_v, part=part)
             fn = (self.swin.blocks[idx].attn_residual if part == "attn"
                   else self.swin.blocks[idx].mlp_residual)
             return f_v + fn(f_v, train)
 
         def a_block(f_a, idx):
-            if fused:
-                return run_chain([self.htsat.blocks[idx]], f_a)
             if chunked:
                 return self.htsat.blocks[idx].chunked_forward(f_a, train=train)
             if attn_state:
@@ -370,7 +345,6 @@ class LockstepEncoder(nn.Module):
                         f_a = f_a + f_a_res2
                     site_idx += 1
                 else:
-                    f_v = flush_v(f_v)
                     # --- p1: adapters on PRE-block features -------------------
                     if inj.audio_adapter_p1:
                         f_a_res, aux_a = run_adapter(self.audio_moe_p1, f_a, f_v)
@@ -395,7 +369,6 @@ class LockstepEncoder(nn.Module):
                         f_v = f_v + f_v_res2
                         f_a = f_a + f_a_res2
                     site_idx += 1
-            f_v = flush_v(f_v)
             if collect_stages:
                 is_last = stage == len(self.swin_cfg.depths) - 1
                 stage_tokens.append(self.swin.norm(f_v) if is_last else f_v)

@@ -100,7 +100,9 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None,
-                 *, affine_only: bool = False) -> jax.Array:
+                 *, affine_only: bool = False,
+                 stats_override: Optional[Tuple[jax.Array, jax.Array]] = None
+                 ) -> jax.Array:
         use_running = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
         C = x.shape[-1]
@@ -112,13 +114,25 @@ class BatchNorm(nn.Module):
         initializing = self.is_mutable_collection("params")
 
         if affine_only:
-            # fused-combine support (running-stats mode only): return the
-            # folded per-channel (w, b) f32 pair instead of applying it
-            assert use_running, "affine_only requires running-average mode"
-            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            # fused-combine support: return the folded per-channel (w, b) f32
+            # pair instead of applying it. Eval folds the RUNNING stats;
+            # train passes closed-form batch stats via `stats_override`
+            # (computed at bottleneck rank by the caller) and gets the same
+            # running-average update the materialized path would do.
+            if stats_override is not None:
+                mean, var = stats_override
+                if not initializing and self.is_mutable_collection("batch_stats"):
+                    m = self.momentum
+                    ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                    ra_var.value = m * ra_var.value + (1.0 - m) * var
+            else:
+                assert use_running, (
+                    "affine_only requires running-average mode or stats_override")
+                mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon)
             if self.use_scale:
                 inv = inv * self.param("scale", nn.initializers.ones, (C,))
-            b = -ra_mean.value * inv
+            b = -mean * inv
             if self.use_bias:
                 b = b + self.param("bias", nn.initializers.zeros, (C,))
             return inv, b

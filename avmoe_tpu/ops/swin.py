@@ -15,7 +15,7 @@ exactly where the reference does (net_trans_v3.py:695-720).
 TPU notes: window partition/reverse are pure reshapes+transposes (free at the
 XLA level); position biases are precomputed-index gathers over tiny tables;
 attention is einsum -> MXU. A fused Pallas window-attention kernel can swap in
-behind the same module API (see avmoe_tpu/ops/pallas/).
+behind the same module API (retired Pallas kernels + measurements: experiments/pallas/).
 """
 
 from __future__ import annotations
@@ -275,16 +275,6 @@ def bf16_attention_logits() -> bool:
     return os.environ.get("AVMOE_BF16_LOGITS", "0") == "1"
 
 
-def use_pallas_attention() -> bool:
-    """Fused Pallas window attention toggle (env AVMOE_PALLAS_ATTN=1).
-
-    Evaluated at trace time; defaults off so CPU tests and non-TPU backends
-    run the XLA path."""
-    import os
-
-    return os.environ.get("AVMOE_PALLAS_ATTN", "0") == "1"
-
-
 def use_chunked_block() -> bool:
     """Whole-block chunked execution toggle (env AVMOE_CHUNK_BLOCK; eval path
     only - callers gate on not-train). See SwinBlock.chunked_forward.
@@ -447,7 +437,6 @@ class WindowAttentionV1(nn.Module):
         # eval: plain chunked; train: only with remat (backward through the
         # bare lax.map stacks saved chunk residuals and OOMs the 16 GB HBM)
         use_chunk = (use_chunked_attention() and chunk_v1() and not monolithic
-                     and not use_pallas_attention()
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
@@ -463,32 +452,19 @@ class WindowAttentionV1(nn.Module):
         qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, D)
 
-        if use_pallas_attention() and no_attn_drop:
-            from avmoe_tpu.ops.pallas.window_attn import fused_window_attention
-
-            if mask is not None:
-                nW = mask.shape[0]
-                full_bias = bias[None] + mask[:, None]  # (nW, H, N, N)
-            else:
-                nW = 1
-                full_bias = bias[None]
-            out = fused_window_attention(
-                (q * scale).astype(self.dtype), k, v,
-                full_bias.astype(jnp.float32), num_windows=nW)
-        else:
-            pet = self.dtype if bf16_attention_logits() else jnp.float32
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                              preferred_element_type=pet)
-            attn = attn + bias[None].astype(pet)
-            if mask is not None:
-                nW = mask.shape[0]
-                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
-                attn = attn.reshape(B_, H, N, N)
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            # MXU accumulates fp32 internally; emit bf16 directly to halve
-            # the PV-output HBM traffic
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
+        pet = self.dtype if bf16_attention_logits() else jnp.float32
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=pet)
+        attn = attn + bias[None].astype(pet)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
+            attn = attn.reshape(B_, H, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        # MXU accumulates fp32 internally; emit bf16 directly to halve
+        # the PV-output HBM traffic
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -546,7 +522,6 @@ class WindowAttentionV2(nn.Module):
         no_attn_drop = self.attn_drop == 0.0 or not train
         # eval: plain chunked; train: only with remat (see V1 note)
         use_chunk = (use_chunked_attention() and not monolithic
-                     and not use_pallas_attention()
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
@@ -574,35 +549,20 @@ class WindowAttentionV2(nn.Module):
         q = _row_normalize(q)
         k = _row_normalize(k)
 
-        if use_pallas_attention() and no_attn_drop:
-            from avmoe_tpu.ops.pallas.window_attn import fused_window_attention
-
-            # fold the per-head logit scale into q (q is row-normalized)
-            q_scaled = (q * logit_scale[None]).astype(self.dtype)
-            if mask is not None:
-                nW = mask.shape[0]
-                full_bias = bias[None] + mask[:, None]
-            else:
-                nW = 1
-                full_bias = bias[None]
-            out = fused_window_attention(
-                q_scaled, k.astype(self.dtype), v.astype(self.dtype),
-                full_bias.astype(jnp.float32), num_windows=nW)
-        else:
-            pet = self.dtype if bf16_attention_logits() else jnp.float32
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                              preferred_element_type=pet)
-            attn = attn * logit_scale[None].astype(pet)
-            attn = attn + bias[None].astype(pet)
-            if mask is not None:
-                nW = mask.shape[0]
-                attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
-                attn = attn.reshape(B_, H, N, N)
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            # MXU accumulates fp32 internally; emit bf16 directly to halve
-            # the PV-output HBM traffic
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
+        pet = self.dtype if bf16_attention_logits() else jnp.float32
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=pet)
+        attn = attn * logit_scale[None].astype(pet)
+        attn = attn + bias[None].astype(pet)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
+            attn = attn.reshape(B_, H, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        # MXU accumulates fp32 internally; emit bf16 directly to halve
+        # the PV-output HBM traffic
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)

@@ -22,6 +22,9 @@ class AverageMeter:
     def get(self, key: str) -> float:
         return self._sum[key] / max(self._count[key], 1)
 
+    def count(self, key: str) -> int:
+        return self._count.get(key, 0)
+
     def pop(self, key: str) -> float:
         v = self.get(key)
         self._sum.pop(key, None)

@@ -30,9 +30,13 @@ os.environ.setdefault("AVMOE_FUSED_MOE", "1")
 # tanh-approx GELU (max rel err ~3e-3, below bf16 stream noise; erf lowering
 # costs ~10 ms/forward on the VPU). Train keeps exact GELU by default.
 os.environ.setdefault("AVMOE_FAST_GELU", "1")
-# train-step fast mode: chunked attention under jax.checkpoint (grad-parity
-# tested in tests/test_chunked_attn.py)
-os.environ.setdefault("AVMOE_CHUNK_ATTN_TRAIN", "1")
+# train-step fast mode (round-3 sweep, tools/sweep_train_knobs.py):
+# monolithic attention beats chunk+remat at batch 4 (22.1 vs 19.5 clips/s),
+# and the fused bottleneck-rank MoE combine now runs in TRAIN too with
+# closed-form BatchNorm batch stats (grad-parity tested in
+# tests/test_fused_moe.py) - together 26.1 vs 19.5 clips/s
+os.environ.setdefault("AVMOE_CHUNK_ATTN_TRAIN", "0")
+os.environ.setdefault("AVMOE_FUSED_MOE_TRAIN", "1")
 
 import jax
 import jax.numpy as jnp
@@ -146,13 +150,16 @@ def bench_train(cfg):
     key = jax.random.PRNGKey(0)
     state, m = train_step(state, batch, key)
     _ = float(m["loss"])  # compile + sync
-    times = []
+    state, m = train_step(state, batch, jax.random.fold_in(key, 999))
+    _ = float(m["loss"])  # warm
+    # PIPELINED timing (one final host sync): a real epoch loop logs loss
+    # asynchronously; syncing on the loss every step costs ~45 ms of tunnel
+    # RTT per dispatch (measured 267 vs 205 ms/step at batch 4)
+    t0 = time.perf_counter()
     for i in range(TRAIN_ITERS):
-        t0 = time.perf_counter()
         state, m = train_step(state, batch, jax.random.fold_in(key, i))
-        _ = float(m["loss"])
-        times.append(time.perf_counter() - t0)
-    step_s = float(np.percentile(times, 50))
+    _ = float(m["loss"])
+    step_s = (time.perf_counter() - t0) / TRAIN_ITERS
     return B / step_s, step_s * 1e3
 
 

@@ -11,7 +11,11 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from avmoe_tpu.ops.pallas.fused_block import run_chain
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from fused_block import run_chain
 from avmoe_tpu.ops.swin import SwinBlock
 
 

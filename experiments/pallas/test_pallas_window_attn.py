@@ -11,7 +11,11 @@ from jax.experimental import pallas as pl
 
 
 def test_fused_window_attention_interpret():
-    from avmoe_tpu.ops.pallas import window_attn as wa
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    import window_attn as wa
 
     rng = np.random.RandomState(0)
     nW, B, H, N, D = 4, 2, 2, 16, 8

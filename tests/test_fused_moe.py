@@ -113,3 +113,58 @@ def test_fused_trunk_variants(sa, before_ln):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("sa", ["none", "token"])
+def test_fused_train_value_grads_and_stats_match(sa):
+    """AVMOE_FUSED_MOE_TRAIN: train-mode fused combine must reproduce the
+    materialized path's loss value, parameter gradients AND updated running
+    batch_stats (bn2's batch stats are computed in closed form from z)."""
+    cfg = MoEConfig(
+        num_multimodal_experts=2, num_singlemodal_experts=2,
+        adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=4,
+                              use_bn=True, post_layernorm=True,
+                              self_attention=sa))
+    B, N, C, M, Co = 2, 24, 32, 16, 48
+    adapter = MoEAdapter(dim=C, other_dim=Co, num_tokens=N, other_num_tokens=M,
+                         cfg=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
+    other = jnp.asarray(rng.normal(0, 1, (B, M, Co)).astype(np.float32))
+
+    variables = adapter.init(jax.random.PRNGKey(0), x, other, True)
+    params = _randomize(variables["params"], rng)
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.abs(rng.normal(0.5, 0.2, a.shape)
+                                     ).astype(np.float32)),
+        variables["batch_stats"])
+
+    def loss_fn(p):
+        out, new_vars = adapter.apply(
+            {"params": p, "batch_stats": stats}, x, other, True,
+            mutable=["batch_stats"])
+        y, aux = out
+        return jnp.sum(jnp.square(y)) + 0.1 * jnp.sum(aux["gating_probs"]), (
+            new_vars["batch_stats"])
+
+    os.environ["AVMOE_FUSED_MOE_TRAIN"] = "0"
+    (l_ref, bs_ref), g_ref = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    os.environ["AVMOE_FUSED_MOE_TRAIN"] = "1"
+    try:
+        (l_out, bs_out), g_out = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    finally:
+        os.environ["AVMOE_FUSED_MOE_TRAIN"] = "0"
+
+    np.testing.assert_allclose(float(l_out), float(l_ref), rtol=1e-4)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_out)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(ka))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bs_ref),
+            jax.tree_util.tree_leaves_with_path(bs_out)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(ka))
