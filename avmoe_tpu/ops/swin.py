@@ -354,17 +354,58 @@ def _chunk_target_bytes() -> int:
     return int(os.environ.get("AVMOE_CHUNK_MB", "4")) * 1024 * 1024
 
 
+def qkv_in_chunk() -> bool:
+    """Compute the packed-qkv GEMM inside the attention chunk body (eval
+    path; env AVMOE_QKV_IN_CHUNK, default on): the lax.map's sliced operand
+    becomes x (S bytes) instead of qkv (3S), and the stage-sized qkv tensor
+    never round-trips HBM - the kernel rides in as a loop-invariant operand
+    (no per-chunk slice machinery)."""
+    import os
+
+    return os.environ.get("AVMOE_QKV_IN_CHUNK", "1") == "1"
+
+
+class PackedQKV(nn.Module):
+    """Drop-in for nn.Dense(3C, name="qkv") (same param paths/inits) that can
+    also hand its kernel to the chunked attention body (kernel_only=True)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, kernel_only: bool = False):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if kernel_only:
+            return kernel, bias
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
                              logit_scale=None, pet, dtype,
-                             target_bytes=None):
+                             target_bytes=None, qkv_kernel=None,
+                             qkv_bias=None):
     """Attention core over packed qkv (B_, N, 3C) in window-frame chunks.
 
     bias: (H, N, N); mask: (nW, N, N) or None. Returns (B_, N, C) in `dtype`.
     The packed-qkv layout means the big head-split transpose never happens at
     stream size - each chunk relayouts a few MB inside the mapped body.
+
+    With qkv_kernel (+ optional qkv_bias), the first argument is x (B_, N, C)
+    and each chunk computes its own qkv GEMM in VMEM (see qkv_in_chunk).
     """
-    B_, N, C3 = qkv.shape
-    C = C3 // 3
+    if qkv_kernel is not None:
+        B_, N, C = qkv.shape
+        C3 = 3 * C
+    else:
+        B_, N, C3 = qkv.shape
+        C = C3 // 3
     H = num_heads
     D = C // H
     nW = 1 if mask is None else mask.shape[0]
@@ -379,6 +420,10 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
     full_bias = bias[None] if mask is None else bias[None] + mask[:, None]
 
     def body(qkv_c):
+        if qkv_kernel is not None:
+            qkv_c = qkv_c.astype(dtype) @ qkv_kernel.astype(dtype)
+            if qkv_bias is not None:
+                qkv_c = qkv_c + qkv_bias.astype(dtype)
         qkv_ = qkv_c.reshape(cb, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv_[0], qkv_[1], qkv_[2]           # (cb, H, N, D)
         if version == "v2":
@@ -399,7 +444,7 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(dtype))
         return out.transpose(0, 2, 1, 3).reshape(cb, N, C).astype(dtype)
 
-    out = jax.lax.map(body, qkv.reshape(B_ // cb, cb, N, C3))
+    out = jax.lax.map(body, qkv.reshape(B_ // cb, cb, N, qkv.shape[-1]))
     return out.reshape(B_, N, C)
 
 
@@ -421,7 +466,8 @@ class WindowAttentionV1(nn.Module):
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv_mod = PackedQKV(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                            name="qkv")
 
         scale = D ** -0.5
         wh, ww = self.window
@@ -440,16 +486,23 @@ class WindowAttentionV1(nn.Module):
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
-            core = lambda qkv_, bias_: chunked_window_attention(
-                qkv_, bias_, mask, H, version="v1", pet=pet, dtype=self.dtype)
-            logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
-            if train and logits_bytes > attn_remat_threshold_bytes():
-                core = jax.checkpoint(core)
-            out = core(qkv, bias)
+            if not train and qkv_in_chunk():
+                kern, qb = qkv_mod(x, kernel_only=True)
+                out = chunked_window_attention(
+                    x, bias, mask, H, version="v1", pet=pet, dtype=self.dtype,
+                    qkv_kernel=kern, qkv_bias=qb)
+            else:
+                core = lambda qkv_, bias_: chunked_window_attention(
+                    qkv_, bias_, mask, H, version="v1", pet=pet,
+                    dtype=self.dtype)
+                logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
+                if train and logits_bytes > attn_remat_threshold_bytes():
+                    core = jax.checkpoint(core)
+                out = core(qkv_mod(x), bias)
             out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
-        qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        qkv = qkv_mod(x).reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, D)
 
         pet = self.dtype if bf16_attention_logits() else jnp.float32
@@ -499,7 +552,6 @@ class WindowAttentionV2(nn.Module):
         q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
         v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
         qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
-        qkv = x.astype(self.dtype) @ qkv_kernel.astype(self.dtype) + qkv_bias.astype(self.dtype)
 
         logit_scale = self.param(
             "logit_scale",
@@ -525,16 +577,25 @@ class WindowAttentionV2(nn.Module):
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
-            core = lambda qkv_, bias_, lsc_: chunked_window_attention(
-                qkv_, bias_, mask, H, version="v2", logit_scale=lsc_,
-                pet=pet, dtype=self.dtype)
-            logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
-            if train and logits_bytes > attn_remat_threshold_bytes():
-                core = jax.checkpoint(core)
-            out = core(qkv, bias, logit_scale)
+            if not train and qkv_in_chunk():
+                out = chunked_window_attention(
+                    x, bias, mask, H, version="v2", logit_scale=logit_scale,
+                    pet=pet, dtype=self.dtype,
+                    qkv_kernel=qkv_kernel, qkv_bias=qkv_bias)
+            else:
+                core = lambda qkv_, bias_, lsc_: chunked_window_attention(
+                    qkv_, bias_, mask, H, version="v2", logit_scale=lsc_,
+                    pet=pet, dtype=self.dtype)
+                logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
+                if train and logits_bytes > attn_remat_threshold_bytes():
+                    core = jax.checkpoint(core)
+                out = core(x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
+                           + qkv_bias.astype(self.dtype), bias, logit_scale)
             out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
+        qkv = (x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
+               + qkv_bias.astype(self.dtype))
         qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 

@@ -64,13 +64,23 @@ def train_and_evaluate(
         eval_meter = AverageMeter()
         if expert_tracker is not None:
             expert_tracker.reset()
-        for batch in eval_loader:
-            metrics = eval_step(state, batch)
-            telemetry = metrics.pop("telemetry", None)
-            eval_meter.add(**{k: float(v) for k, v in metrics.items()
+        # same deferred-readback pipelining as the train loop: keep a few
+        # dispatched eval steps in flight before syncing on their scalars
+        pending = deque()
+
+        def _drain_eval(m):
+            telemetry = m.pop("telemetry", None)
+            eval_meter.add(**{k: float(v) for k, v in m.items()
                               if np.ndim(v) == 0})
             if expert_tracker is not None and telemetry is not None:
                 expert_tracker.update(telemetry)
+
+        for batch in eval_loader:
+            pending.append(eval_step(state, batch))
+            if len(pending) > 3:
+                _drain_eval(pending.popleft())
+        for m in pending:
+            _drain_eval(m)
 
         val = eval_meter.get(metric_key)
         train_loss = meter.get("loss")
