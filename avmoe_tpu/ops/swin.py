@@ -366,8 +366,9 @@ def qkv_in_chunk() -> bool:
 
 
 class PackedQKV(nn.Module):
-    """Drop-in for nn.Dense(3C, name="qkv") (same param paths/inits) that can
-    also hand its kernel to the chunked attention body (kernel_only=True)."""
+    """Drop-in for nn.Dense (same param paths/inits) that can also hand its
+    kernel to the chunked attention body (kernel_only=True). Used for the
+    packed qkv projection and the output proj."""
 
     features: int
     use_bias: bool = True
@@ -390,7 +391,8 @@ class PackedQKV(nn.Module):
 def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
                              logit_scale=None, pet, dtype,
                              target_bytes=None, qkv_kernel=None,
-                             qkv_bias=None):
+                             qkv_bias=None, proj_kernel=None,
+                             proj_bias=None):
     """Attention core over packed qkv (B_, N, 3C) in window-frame chunks.
 
     bias: (H, N, N); mask: (nW, N, N) or None. Returns (B_, N, C) in `dtype`.
@@ -399,6 +401,9 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
 
     With qkv_kernel (+ optional qkv_bias), the first argument is x (B_, N, C)
     and each chunk computes its own qkv GEMM in VMEM (see qkv_in_chunk).
+    With proj_kernel, the output projection runs in the body too (proj is
+    per-token, so it commutes exactly with chunk concatenation) - the
+    pre-proj attention output never round-trips HBM either.
     """
     if qkv_kernel is not None:
         B_, N, C = qkv.shape
@@ -442,7 +447,12 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
                 + full_bias[None].astype(pet)).reshape(cb, H, N, N)
         attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(dtype))
-        return out.transpose(0, 2, 1, 3).reshape(cb, N, C).astype(dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(cb, N, C).astype(dtype)
+        if proj_kernel is not None:
+            out = out @ proj_kernel.astype(dtype)
+            if proj_bias is not None:
+                out = out + proj_bias.astype(dtype)
+        return out.astype(dtype)
 
     out = jax.lax.map(body, qkv.reshape(B_ // cb, cb, N, qkv.shape[-1]))
     return out.reshape(B_, N, C)
@@ -486,11 +496,15 @@ class WindowAttentionV1(nn.Module):
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
+            proj_mod = PackedQKV(C, dtype=self.dtype, name="proj")
             if not train and qkv_in_chunk():
                 kern, qb = qkv_mod(x, kernel_only=True)
+                pk, pb = proj_mod(jnp.zeros((1, C), self.dtype),
+                                  kernel_only=True)
                 out = chunked_window_attention(
                     x, bias, mask, H, version="v1", pet=pet, dtype=self.dtype,
-                    qkv_kernel=kern, qkv_bias=qb)
+                    qkv_kernel=kern, qkv_bias=qb,
+                    proj_kernel=pk, proj_bias=pb)
             else:
                 core = lambda qkv_, bias_: chunked_window_attention(
                     qkv_, bias_, mask, H, version="v1", pet=pet,
@@ -498,8 +512,7 @@ class WindowAttentionV1(nn.Module):
                 logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
                 if train and logits_bytes > attn_remat_threshold_bytes():
                     core = jax.checkpoint(core)
-                out = core(qkv_mod(x), bias)
-            out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+                out = proj_mod(core(qkv_mod(x), bias))
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
         qkv = qkv_mod(x).reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
@@ -520,7 +533,7 @@ class WindowAttentionV1(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
-        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = PackedQKV(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
 
@@ -577,11 +590,15 @@ class WindowAttentionV2(nn.Module):
                      and (not train or (no_attn_drop and chunk_attn_train())))
         if use_chunk:
             pet = self.dtype if bf16_attention_logits() else jnp.float32
+            proj_mod = PackedQKV(C, dtype=self.dtype, name="proj")
             if not train and qkv_in_chunk():
+                pk, pb = proj_mod(jnp.zeros((1, C), self.dtype),
+                                  kernel_only=True)
                 out = chunked_window_attention(
                     x, bias, mask, H, version="v2", logit_scale=logit_scale,
                     pet=pet, dtype=self.dtype,
-                    qkv_kernel=qkv_kernel, qkv_bias=qkv_bias)
+                    qkv_kernel=qkv_kernel, qkv_bias=qkv_bias,
+                    proj_kernel=pk, proj_bias=pb)
             else:
                 core = lambda qkv_, bias_, lsc_: chunked_window_attention(
                     qkv_, bias_, mask, H, version="v2", logit_scale=lsc_,
@@ -589,9 +606,9 @@ class WindowAttentionV2(nn.Module):
                 logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
                 if train and logits_bytes > attn_remat_threshold_bytes():
                     core = jax.checkpoint(core)
-                out = core(x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
-                           + qkv_bias.astype(self.dtype), bias, logit_scale)
-            out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+                out = proj_mod(core(
+                    x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
+                    + qkv_bias.astype(self.dtype), bias, logit_scale))
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
         qkv = (x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
@@ -626,7 +643,7 @@ class WindowAttentionV2(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
-        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = PackedQKV(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
 
