@@ -233,8 +233,12 @@ class AVVPConfig:
     crossmodal_assign: str = "soft"
     swin: SwinV2Config = field(default_factory=SwinV2Config.large)
     htsat: HTSATConfig = field(default_factory=HTSATConfig)
+    # lb_loss_compat=True: this config replicates the reference's published
+    # train.sh settings, whose lambda_LB was tuned against the reference's
+    # own (buggy-magnitude) LB loss — the published weight only transfers at
+    # the compat magnitude (ADVICE r3).
     moe: MoEConfig = field(default_factory=lambda: MoEConfig(
-        load_balance_loss=True,
+        load_balance_loss=True, lb_loss_compat=True,
         adapter=AdapterConfig(use_bn=False, self_attention="bmm"),
     ))
     injection: InjectionConfig = field(default_factory=lambda: InjectionConfig(num_skip=1))
@@ -250,7 +254,7 @@ def tiny_avvp_config() -> "AVVPConfig":
         swin=tiny_swin(),
         htsat=tiny_htsat(),
         moe=MoEConfig(
-            load_balance_loss=True,
+            load_balance_loss=True, lb_loss_compat=True,
             adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=8,
                                   use_bn=False, self_attention="bmm"),
         ),
@@ -335,8 +339,10 @@ class AVSConfig:
     temporal_gamma: float = 0.05
     swin: SwinV2Config = field(default_factory=SwinV2Config.large)
     htsat: HTSATConfig = field(default_factory=HTSATConfig)
+    # lb_loss_compat=True: published lambda_LB values were tuned against the
+    # reference's own LB magnitude (see AVVPConfig note / ADVICE r3)
     moe: MoEConfig = field(default_factory=lambda: MoEConfig(
-        load_balance_loss=True, router_noise_std=0.01,
+        load_balance_loss=True, lb_loss_compat=True, router_noise_std=0.01,
         # AVS base_options.py defaults: is_bn=0, is_gate=0 (audio side only;
         # vis adapters stay gated). num_tokens=87: the AVS MoEAdapter never
         # forwards opt.num_tokens, so every expert keeps the num_tk=87
@@ -358,7 +364,7 @@ def tiny_avs_config() -> "AVSConfig":
         swin=tiny_swin(),
         htsat=tiny_htsat(),
         moe=MoEConfig(
-            load_balance_loss=True, router_noise_std=0.01,
+            load_balance_loss=True, lb_loss_compat=True, router_noise_std=0.01,
             # num_tokens=87 mirrors prod: the reference AVS adapters always
             # use the num_tk=87 default (see AVSConfig note)
             adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=87,

@@ -55,9 +55,15 @@ def build_vocabs(train_json: str) -> Tuple[List[str], List[str]]:
 def load_vocab_file(path: str) -> List[str]:
     """One token per line (the reference ships data/AVQA/ques_vocab.txt /
     ans_vocab.txt in this format). Lines are stripped of the newline only;
-    leading/inner spaces are significant."""
+    leading/inner spaces are significant. Interior lines are kept VERBATIM -
+    silently dropping a blank interior line would shift every subsequent
+    token index vs the checkpoint's embedding order (ADVICE r3); only a
+    trailing final newline is ignored."""
     with open(path) as f:
-        return [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        tokens = [line.rstrip("\n") for line in f]
+    if tokens and tokens[-1] == "":
+        tokens.pop()  # file ends with a newline, not an empty entry
+    return tokens
 
 
 def resolve_vocabs(

@@ -214,7 +214,12 @@ class UnimodalExpert(nn.Module):
             # reads it as (seq=frames B', batch=tokens N, embed): the expert
             # attends ACROSS the frame/batch axis at each token index, not
             # over tokens. Replicated faithfully via a transpose. NOTE: this
-            # mixes samples across the batch — exactly as the reference does.
+            # mixes samples across the batch — exactly as the reference does —
+            # so eval outputs depend on batch composition: exact-reproducible
+            # AVS eval needs a fixed batch size (BatchLoader never pads, so a
+            # smaller final batch is still all-real samples, merely a
+            # different mixing set than a full batch would be; see
+            # docs/PARITY.md "mha expert batch dependence").
             x_t = x.transpose(1, 0, 2)  # (N, B', C)
             x_t = nn.MultiHeadDotProductAttention(
                 num_heads=4, dropout_rate=0.2, deterministic=not train,

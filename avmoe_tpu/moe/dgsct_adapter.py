@@ -32,6 +32,10 @@ class DGSCTAdapter(nn.Module):
     cfg: AdapterConfig
     alpha: float = 0.3
     beta: float = 0.05
+    # 'zeros' matches the AVQA v1/v2 adapters (net_avst_v2.py:60);
+    # 'uniform' matches the AVE MMIL_Net VisualAdapter's torch.rand
+    # (net_trans.py:482)
+    tokens_init: str = "zeros"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -47,9 +51,11 @@ class DGSCTAdapter(nn.Module):
                         token_kernel.astype(self.dtype)) + token_bias[None, :, None]
         ot = nn.Dense(self.dim, dtype=self.dtype, name="fc")(ot)  # (B, N, C)
 
-        # latent-token cross attention (zero-init tokens here, ref :60)
+        # latent-token cross attention (init per tokens_init, see attr note)
         T = self.cfg.num_tokens
-        tokens = self.param("latent_tokens", nn.initializers.zeros, (T, C))
+        tok_init = (nn.initializers.zeros if self.tokens_init == "zeros"
+                    else nn.initializers.uniform(scale=1.0))
+        tokens = self.param("latent_tokens", tok_init, (T, C))
         gate_av = self.param("gate_av", nn.initializers.zeros, (1,))
         rep = jnp.broadcast_to(tokens[None], (B, T, C)).astype(self.dtype)
         a1 = jax.nn.softmax(jnp.einsum("btc,bmc->btm", rep, ot), axis=-1)

@@ -257,15 +257,17 @@ class LockstepEncoder(nn.Module):
             if attn_state:
                 blk = self.swin.blocks[idx]
                 mid = blk.chunked_forward(f_v, train=train, part="attn")
-                return mid + blk.mlp_residual(mid, train)
+                return blk.mlp_state(mid, train)
             return self.swin.blocks[idx](f_v, train)
 
         def v_part(f_v, idx, part):
             """Apply one visual sub-block (attn|mlp), returning the NEW state
-            (x + residual)."""
-            fn = (self.swin.blocks[idx].attn_residual if part == "attn"
-                  else self.swin.blocks[idx].mlp_residual)
-            return f_v + fn(f_v, train)
+            (x + residual). The attn part routes through attn_state so the
+            fused-residual chunk body serves the eval default."""
+            blk = self.swin.blocks[idx]
+            if part == "attn":
+                return blk.attn_state(f_v, train)
+            return blk.mlp_state(f_v, train)
 
         def a_block(f_a, idx):
             if chunked:
@@ -273,7 +275,7 @@ class LockstepEncoder(nn.Module):
             if attn_state:
                 blk = self.htsat.blocks[idx]
                 mid = blk.chunked_forward(f_a, train=train, part="attn")
-                return mid + blk.mlp_residual(mid, train)
+                return blk.mlp_state(mid, train)
             return self.htsat.blocks[idx](f_a, train)
 
         for stage in range(len(self.swin_cfg.depths)):
@@ -339,7 +341,7 @@ class LockstepEncoder(nn.Module):
                         f_v_res2, aux_v2 = run_adapter(self.vis_moe_p2, f_v, f_a)
                         tele["audio_p2"].append(aux_a2["gating_probs"])
                         tele["video_p2"].append(aux_v2["gating_probs"])
-                    f_v = f_v + blk_v.mlp_residual(f_v, train)
+                    f_v = blk_v.mlp_state(f_v, train)
                     if inj.audio_adapter_p2:
                         f_v = f_v + f_v_res2
                         f_a = f_a + f_a_res2

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax import ad_checkpoint
 
 from avmoe_tpu.ops.norm import LayerNorm
 
@@ -163,11 +164,20 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+    def __call__(self, x, *, train: bool = False, kernels_only: bool = False):
+        # PackedQKV == nn.Dense (same param tree / inits / dtype casts) plus
+        # a kernel_only mode for the chunked mlp_state body
+        fc1 = PackedQKV(self.hidden_dim, dtype=self.dtype, name="fc1")
+        fc2 = PackedQKV(self.out_dim, dtype=self.dtype, name="fc2")
+        if kernels_only:
+            k1, b1 = fc1(x, kernel_only=True)
+            k2, b2 = fc2(jnp.zeros((1, self.hidden_dim), self.dtype),
+                         kernel_only=True)
+            return k1, b1, k2, b2
+        x = fc1(x)
         x = nn.gelu(x, approximate=True) if fast_gelu() else self.act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = fc2(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -322,15 +332,33 @@ def chunk_v1() -> bool:
     return os.environ.get("AVMOE_CHUNK_V1", "1") == "1"
 
 
-def chunk_attn_train() -> bool:
-    """Rematerialized chunked attention in TRAIN (env AVMOE_CHUNK_ATTN_TRAIN):
-    the attention core runs chunked under jax.checkpoint, so backward
-    recomputes each chunk's logits/softmax from the saved packed qkv instead
-    of streaming stacked per-chunk residuals through HBM (which OOMs at the
-    flagship batch without remat)."""
+def chunk_attn_train_mode() -> int:
+    """Chunked attention in TRAIN (env AVMOE_CHUNK_ATTN_TRAIN):
+
+      0 - off: monolithic attention (round-3 default; backward materializes
+          full (B_, H, N, N) softmax-grad streams in HBM).
+      1 - full remat: chunked under jax.checkpoint, backward recomputes each
+          chunk's logits/softmax from the saved packed qkv (r2 variant -
+          saves memory but pays the N^2 recompute).
+      2 - save-P: chunked under jax.checkpoint with a save_only_these_names
+          policy on the softmax output. Forward stores P (the same bytes the
+          monolithic path materializes anyway); backward recomputes only the
+          cheap qkv relayout per chunk while dP / dlogits stay chunk-local in
+          VMEM instead of streaming through HBM (the round-4 lever: train ran
+          at ~55% of its byte roofline with the monolithic backward).
+    """
     import os
 
-    return os.environ.get("AVMOE_CHUNK_ATTN_TRAIN", "0") == "1"
+    return int(os.environ.get("AVMOE_CHUNK_ATTN_TRAIN", "0"))
+
+
+def chunk_attn_train() -> bool:
+    return chunk_attn_train_mode() > 0
+
+
+def _save_p_policy():
+    return ad_checkpoint.checkpoint_policies.save_only_these_names(
+        "attn_probs")
 
 
 def use_chunked_attention() -> bool:
@@ -363,6 +391,101 @@ def qkv_in_chunk() -> bool:
     import os
 
     return os.environ.get("AVMOE_QKV_IN_CHUNK", "1") == "1"
+
+
+def mlp_in_chunk() -> bool:
+    """Fold norm2 + MLP + residual into a frame-chunked body (eval path; env
+    AVMOE_MLP_IN_CHUNK, default on). The MLP is per-token, so chunking is
+    exact; the (B, N, 4C) hidden stream and the norm2/residual passes stay
+    in VMEM at the cost of re-reading the fc kernels once per chunk - a
+    profitability check (see _plan_mlp_chunks) skips stages where the kernel
+    re-reads would exceed the stream savings."""
+    import os
+
+    return os.environ.get("AVMOE_MLP_IN_CHUNK", "1") == "1"
+
+
+def _mlp_chunk_target_bytes() -> int:
+    """Per-chunk hidden-tensor budget (env AVMOE_MLP_CHUNK_MB, default 16 -
+    the MLP body has no N^2 logits tensor, so chunks can be much larger than
+    the attention body's)."""
+    import os
+
+    return int(os.environ.get("AVMOE_MLP_CHUNK_MB", "16")) * 1024 * 1024
+
+
+def _plan_mlp_chunks(B: int, L: int, C: int, hidden: int,
+                     esize: int) -> Optional[int]:
+    """Frames per chunk, or None when fusion is unprofitable.
+
+    Saved HBM traffic: the hidden stream's write+read (2*B*L*hidden) plus the
+    norm2 + residual stream passes (~2*B*L*C). Cost: the fc kernels re-read
+    once per extra chunk iteration (2*C*hidden each)."""
+    per_frame = L * hidden * esize
+    f = int(max(1, min(B, _mlp_chunk_target_bytes() // max(per_frame, 1))))
+    while B % f:
+        f -= 1
+    iters = B // f
+    saved = (2 * B * L * hidden + 2 * B * L * C) * esize
+    cost = (iters - 1) * 2 * C * hidden * esize
+    return f if cost < saved else None
+
+
+def chunked_mlp_state(x, *, norm2, k1, b1, k2, b2, version, dtype, f):
+    """State update `x + mlp_residual(x)` over f-frame chunks: norm2 (pre for
+    v1 / post for v2), fc1 -> GELU -> fc2 and the residual add all run on
+    VMEM-resident chunk data. One stream read + one stream write."""
+    B, L, C = x.shape
+    n2_scale, n2_bias, n2_eps = norm2
+    fast = fast_gelu()
+
+    def body(xc):
+        h = (_ln_chunk(xc, n2_scale, n2_bias, n2_eps, dtype)
+             if version == "v1" else xc.astype(dtype))
+        h = h @ k1.astype(dtype) + b1.astype(dtype)
+        h = nn.gelu(h, approximate=fast)
+        out = h @ k2.astype(dtype) + b2.astype(dtype)
+        if version == "v2":
+            out = _ln_chunk(out, n2_scale, n2_bias, n2_eps, dtype)
+        return (xc + out).astype(x.dtype)
+
+    return jax.lax.map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
+
+
+def attn_res_in_chunk() -> bool:
+    """Fold norm1 + the residual add + BOTH window (un)partition permutations
+    into the attention chunk body (eval path; env AVMOE_ATTN_RES_IN_CHUNK,
+    default on).
+
+    The frame-major chunking means a chunk of the PARTITIONED stream (all nW
+    windows of f frames) is exactly a contiguous f-frame slab of the RAW
+    (B, L, C) stream, so the window permutation can run inside the mapped
+    body on VMEM-resident data. The whole attention sub-block then costs one
+    stream read + one stream write of HBM traffic: the partition gather, the
+    qkv/logits/softmax/pre-proj tensors, the norm1 stream pass, the inverse
+    gather, and the residual-add read all stay chunk-local. Single stream
+    operand per the round-2/3 lesson (multi-operand lax.map bodies lose to
+    slice machinery)."""
+    import os
+
+    return os.environ.get("AVMOE_ATTN_RES_IN_CHUNK", "1") == "1"
+
+
+def _ln_chunk(x, scale, bias, eps, dtype):
+    """LayerNorm matching ops.norm.LayerNorm's math (f32 stats, elementwise
+    apply in `dtype`) for use inside chunk bodies on VMEM-resident data."""
+    C = x.shape[-1]
+    s = jnp.sum(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    mean = s / C
+    var = jnp.maximum(ss / C - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    if dtype == jnp.float32:
+        y = (x.astype(jnp.float32) - mean) * inv
+    else:
+        y = (x.astype(dtype) - mean.astype(dtype)) * inv.astype(dtype)
+    y = y * scale.astype(dtype) + bias.astype(dtype)
+    return y.astype(dtype)
 
 
 class PackedQKV(nn.Module):
@@ -446,6 +569,8 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
         attn = (attn.reshape(f, nW, H, N, N)
                 + full_bias[None].astype(pet)).reshape(cb, H, N, N)
         attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+        # named for the TRAIN save-P remat policy (chunk_attn_train_mode 2)
+        attn = ad_checkpoint.checkpoint_name(attn, "attn_probs")
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(dtype))
         out = out.transpose(0, 2, 1, 3).reshape(cb, N, C).astype(dtype)
         if proj_kernel is not None:
@@ -456,6 +581,90 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
 
     out = jax.lax.map(body, qkv.reshape(B_ // cb, cb, N, qkv.shape[-1]))
     return out.reshape(B_, N, C)
+
+
+def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
+                          version, norm1, qkv_kernel, qkv_bias, proj_kernel,
+                          proj_bias, logit_scale=None, pet, dtype,
+                          target_bytes=None):
+    """Whole attention sub-block state update `x + res` over frame chunks.
+
+    x: RAW (B, L, C) tokens. Each mapped chunk is a contiguous slab of f
+    frames; the window (shift-)partition permutation, norm1 (pre-norm for v1
+    / post-norm for v2), qkv + output projections, attention, the inverse
+    permutation and the residual add all run on VMEM-resident chunk data -
+    the only stream-sized HBM traffic is one read of x and one write of the
+    result. norm1 is (scale, bias, eps). Eval path only (dropout inert).
+    """
+    B, L, C = x.shape
+    H_heads = num_heads
+    D = C // H_heads
+    N = window * window
+    nW = L // N
+    if target_bytes is None:
+        target_bytes = _chunk_target_bytes()
+    per_frame = nW * H_heads * N * N * (2 if pet != jnp.float32 else 4)
+    f = int(max(1, min(B, target_bytes // max(per_frame, 1))))
+    while B % f:
+        f -= 1
+    full_bias = bias[None] if mask is None else bias[None] + mask[:, None]
+    n1_scale, n1_bias, n1_eps = norm1
+    cb = f * nW
+
+    # in-body (un)partition as pure reshape/transpose/roll: layout ops XLA
+    # fuses on VMEM-resident chunks (a take-gather here measured 514 GB/s
+    # effective stream bandwidth vs 819 peak - lane-inefficient)
+    def _part(t):  # (f, L, C) -> (cb, N, C)
+        t = t.reshape(f, H, W, C)
+        if shift:
+            t = jnp.roll(t, (-shift, -shift), axis=(1, 2))
+        t = t.reshape(f, H // window, window, W // window, window, C)
+        return t.transpose(0, 1, 3, 2, 4, 5).reshape(cb, N, C)
+
+    def _unpart(t):  # (cb, N, C) -> (f, L, C)
+        t = t.reshape(f, H // window, W // window, window, window, C)
+        t = t.transpose(0, 1, 3, 2, 4, 5).reshape(f, H, W, C)
+        if shift:
+            t = jnp.roll(t, (shift, shift), axis=(1, 2))
+        return t.reshape(f, L, C)
+
+    def body(xc):
+        xw = _part(xc)
+        if version == "v1":
+            h = _ln_chunk(xw, n1_scale, n1_bias, n1_eps, dtype)
+        else:
+            h = xw.astype(dtype)
+        qkv_c = h @ qkv_kernel.astype(dtype)
+        if qkv_bias is not None:
+            qkv_c = qkv_c + qkv_bias.astype(dtype)
+        qkv_ = qkv_c.reshape(cb, N, 3, H_heads, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv_[0], qkv_[1], qkv_[2]           # (cb, H, N, D)
+        if version == "v2":
+            def _rown(t):
+                ss = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                             keepdims=True)
+                r = 1.0 / jnp.maximum(jnp.sqrt(ss), 1e-12)
+                return t * r.astype(t.dtype)
+            q, k = _rown(q), _rown(k)
+        else:
+            q = q * (D ** -0.5)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=pet)
+        if version == "v2":
+            attn = attn * logit_scale[None].astype(pet)
+        attn = (attn.reshape(f, nW, H_heads, N, N)
+                + full_bias[None].astype(pet)).reshape(cb, H_heads, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(cb, N, C).astype(dtype)
+        out = out @ proj_kernel.astype(dtype)
+        if proj_bias is not None:
+            out = out + proj_bias.astype(dtype)
+        if version == "v2":
+            out = _ln_chunk(out, n1_scale, n1_bias, n1_eps, dtype)
+        out = _unpart(out)
+        return (xc + out).astype(x.dtype)
+
+    return jax.lax.map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
 
 
 class WindowAttentionV1(nn.Module):
@@ -472,7 +681,7 @@ class WindowAttentionV1(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False,
-                 monolithic: bool = False):
+                 monolithic: bool = False, fused_residual: Optional[dict] = None):
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -481,13 +690,29 @@ class WindowAttentionV1(nn.Module):
 
         scale = D ** -0.5
         wh, ww = self.window
+        Nw = wh * ww
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * wh - 1) * (2 * ww - 1), H),
         )
         idx = jnp.asarray(relative_position_index(wh, ww))
-        bias = table[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
+        bias = table[idx.reshape(-1)].reshape(Nw, Nw, H).transpose(2, 0, 1)
+
+        if fused_residual is not None:
+            # whole sub-block (norm1 + windowing + attention + proj +
+            # residual) over frame chunks; x is RAW (B, L, C) tokens.
+            # Caller guarantees the eval chunked path (see SwinBlock.attn_state).
+            pet = self.dtype if bf16_attention_logits() else jnp.float32
+            kern, qb = qkv_mod(x, kernel_only=True)
+            pk, pb = PackedQKV(C, dtype=self.dtype, name="proj")(
+                jnp.zeros((1, C), self.dtype), kernel_only=True)
+            return chunked_attn_residual(
+                x, H=fused_residual["H"], W=fused_residual["W"], window=wh,
+                shift=fused_residual["shift"], bias=bias, mask=mask,
+                num_heads=H, version="v1", norm1=fused_residual["norm1"],
+                qkv_kernel=kern, qkv_bias=qb, proj_kernel=pk, proj_bias=pb,
+                pet=pet, dtype=self.dtype)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
         # eval: plain chunked; train: only with remat (backward through the
@@ -510,7 +735,9 @@ class WindowAttentionV1(nn.Module):
                     qkv_, bias_, mask, H, version="v1", pet=pet,
                     dtype=self.dtype)
                 logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
-                if train and logits_bytes > attn_remat_threshold_bytes():
+                if train and chunk_attn_train_mode() == 2:
+                    core = jax.checkpoint(core, policy=_save_p_policy())
+                elif train and logits_bytes > attn_remat_threshold_bytes():
                     core = jax.checkpoint(core)
                 out = proj_mod(core(qkv_mod(x), bias))
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)
@@ -554,7 +781,7 @@ class WindowAttentionV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None, *, train: bool = False,
-                 monolithic: bool = False):
+                 monolithic: bool = False, fused_residual: Optional[dict] = None):
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -575,14 +802,29 @@ class WindowAttentionV2(nn.Module):
 
         # continuous position bias
         wh, ww = self.window
+        Nw = wh * ww
         pwh, pww = self.pretrained_window
         coords = jnp.asarray(log_cpb_coords_table(wh, ww, pwh, pww))
         cpb = nn.Dense(self.cpb_hidden, name="cpb_fc1")(coords)
         cpb = nn.relu(cpb)
         cpb = nn.Dense(H, use_bias=False, name="cpb_fc2")(cpb)  # (T, H)
         idx = jnp.asarray(relative_position_index(wh, ww))
-        bias = cpb[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
+        bias = cpb[idx.reshape(-1)].reshape(Nw, Nw, H).transpose(2, 0, 1)
         bias = 16.0 * jax.nn.sigmoid(bias)
+
+        if fused_residual is not None:
+            # whole sub-block (windowing + attention + proj + post-norm1 +
+            # residual) over frame chunks; x is RAW (B, L, C) tokens.
+            pet = self.dtype if bf16_attention_logits() else jnp.float32
+            pk, pb = PackedQKV(C, dtype=self.dtype, name="proj")(
+                jnp.zeros((1, C), self.dtype), kernel_only=True)
+            return chunked_attn_residual(
+                x, H=fused_residual["H"], W=fused_residual["W"], window=wh,
+                shift=fused_residual["shift"], bias=bias, mask=mask,
+                num_heads=H, version="v2", norm1=fused_residual["norm1"],
+                qkv_kernel=qkv_kernel, qkv_bias=qkv_bias,
+                proj_kernel=pk, proj_bias=pb, logit_scale=logit_scale,
+                pet=pet, dtype=self.dtype)
 
         no_attn_drop = self.attn_drop == 0.0 or not train
         # eval: plain chunked; train: only with remat (see V1 note)
@@ -604,7 +846,9 @@ class WindowAttentionV2(nn.Module):
                     qkv_, bias_, mask, H, version="v2", logit_scale=lsc_,
                     pet=pet, dtype=self.dtype)
                 logits_bytes = B_ * H * N * N * (2 if pet != jnp.float32 else 4)
-                if train and logits_bytes > attn_remat_threshold_bytes():
+                if train and chunk_attn_train_mode() == 2:
+                    core = jax.checkpoint(core, policy=_save_p_policy())
+                elif train and logits_bytes > attn_remat_threshold_bytes():
                     core = jax.checkpoint(core)
                 out = proj_mod(core(
                     x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
@@ -731,9 +975,47 @@ class SwinBlock(nn.Module):
             return self.dp2(self.mlp(self.norm2(x), train=train), train=train)
         return self.dp2(self.norm2(self.mlp(x, train=train)), train=train)
 
+    def attn_state(self, x, train: bool = False):
+        """State update `x + attn_residual(x)`. On the eval chunked path the
+        norm1, both window permutations, the qkv/proj GEMMs, attention and
+        the residual add all run inside one mapped chunk body (one stream
+        read + one stream write of HBM traffic; see chunked_attn_residual);
+        otherwise identical math via the unfused sub-block pieces."""
+        fused = (not train and attn_res_in_chunk() and use_chunked_attention()
+                 and qkv_in_chunk()
+                 and (self.version == "v2" or chunk_v1()))
+        if not fused:
+            return x + self.attn_residual(x, train=train)
+        H, W = self.input_resolution
+        window, shift = self._geometry()
+        mask_np = shifted_window_mask(H, W, window, shift)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        scale, bias = self.norm1(x, params_only=True)
+        return self.attn(
+            x, mask=mask, train=train,
+            fused_residual=dict(H=H, W=W, shift=shift,
+                                norm1=(scale, bias, self.norm1.epsilon)))
+
+    def mlp_state(self, x, train: bool = False):
+        """State update `x + mlp_residual(x)`; norm2 + MLP + residual run in
+        one frame-chunked body on the eval path when profitable."""
+        B, L, C = x.shape
+        f = None
+        if not train and mlp_in_chunk():
+            esize = 2 if self.dtype != jnp.float32 else 4
+            f = _plan_mlp_chunks(B, L, C, int(self.dim * self.mlp_ratio),
+                                 esize)
+        if f is None:
+            return x + self.mlp_residual(x, train=train)
+        k1, b1, k2, b2 = self.mlp(x, kernels_only=True)
+        scale, bias = self.norm2(x, params_only=True)
+        return chunked_mlp_state(
+            x, norm2=(scale, bias, self.norm2.epsilon), k1=k1, b1=b1, k2=k2,
+            b2=b2, version=self.version, dtype=self.dtype, f=f)
+
     def __call__(self, x, train: bool = False):
-        x = x + self.attn_residual(x, train=train)
-        x = x + self.mlp_residual(x, train=train)
+        x = self.attn_state(x, train=train)
+        x = self.mlp_state(x, train=train)
         return x
 
     def chunked_forward(self, x, r_attn=None, *, train: bool = False,

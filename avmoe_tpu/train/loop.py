@@ -48,16 +48,21 @@ def train_and_evaluate(
         # flagship AVE config). Depth 3 keeps a few steps in flight while
         # meters stay only a few steps stale.
         pending = deque()
+        drained = -1  # index of the newest step whose metrics are in the meter
         for i, batch in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             pending.append(metrics)
             if len(pending) > 3:
                 m = pending.popleft()
+                drained = i - 3
                 meter.add(**{k: float(v) for k, v in m.items()
                              if np.ndim(v) == 0})
             if i % log_every == 0 and meter.count("loss"):
-                log.info("epoch %d step %d loss %.4f", epoch, i, meter.get("loss"))
+                # loss average lags the dispatch frontier by the queue depth;
+                # 'thru step N' names the newest step actually in the average
+                log.info("epoch %d step %d loss %.4f (thru step %d)",
+                         epoch, i, meter.get("loss"), drained)
         for m in pending:
             meter.add(**{k: float(v) for k, v in m.items() if np.ndim(v) == 0})
 

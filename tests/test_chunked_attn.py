@@ -105,10 +105,85 @@ def test_full_model_chunked_block_matches(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_train_remat_chunked_grads_match():
-    """AVMOE_CHUNK_ATTN_TRAIN grads == monolithic train-path grads."""
+@pytest.mark.parametrize("version", ["v1", "v2"])
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_attn_state_matches(version, shift, monkeypatch):
+    """attn_state fused chunk body (norm1 + windowing + residual in-body)
+    == x + attn_residual(x)."""
+    H = W = 8
+    C, heads, window = 32, 4, 4
+    B = 3
+    blk = SwinBlock(dim=C, input_resolution=(H, W), num_heads=heads,
+                    window_size=window, shift_size=shift, version=version,
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 1, (B, H * W, C)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("AVMOE_ATTN_RES_IN_CHUNK", "0")
+    ref = x + blk.apply(variables, x, method="attn_residual")
+    monkeypatch.setenv("AVMOE_ATTN_RES_IN_CHUNK", "1")
+    out = blk.apply(variables, x, method="attn_state")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_fused_mlp_state_matches(version, monkeypatch):
+    """mlp_state chunk body (norm2 + MLP + residual in-body) ==
+    x + mlp_residual(x)."""
+    H = W = 8
+    C, heads, window = 32, 4, 4
+    B = 4
+    blk = SwinBlock(dim=C, input_resolution=(H, W), num_heads=heads,
+                    window_size=window, shift_size=0, version=version,
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(0, 1, (B, H * W, C)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("AVMOE_MLP_IN_CHUNK", "0")
+    ref = x + blk.apply(variables, x, method="mlp_residual")
+    monkeypatch.setenv("AVMOE_MLP_IN_CHUNK", "1")
+    monkeypatch.setenv("AVMOE_MLP_CHUNK_MB", "1")  # force >1 chunk
+    out = blk.apply(variables, x, method="mlp_state")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_full_model_fused_attn_state_matches(monkeypatch):
+    """Tiny AVE eval forward: AVMOE_ATTN_RES_IN_CHUNK on vs off."""
+    from avmoe_tpu.config import tiny_ave_config
+    from avmoe_tpu.models.ave import AVEModel
+
+    cfg = tiny_ave_config()
+    model = AVEModel(cfg)
+    rng = np.random.default_rng(13)
+    B, T = 1, cfg.num_segments
+    wave = jnp.asarray(rng.normal(0, 0.1, (B, T, cfg.audio_len)).astype(np.float32))
+    imgs = jnp.asarray(rng.random((B, T, cfg.swin.img_size, cfg.swin.img_size, 3),
+                                  ).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), wave, imgs)
+
+    monkeypatch.setenv("AVMOE_ATTN_RES_IN_CHUNK", "0")
+    ref = model.apply(variables, wave, imgs)
+    monkeypatch.setenv("AVMOE_ATTN_RES_IN_CHUNK", "1")
+    out = model.apply(variables, wave, imgs)
+    np.testing.assert_allclose(np.asarray(out["event_logits"]),
+                               np.asarray(ref["event_logits"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["is_event_logits"]),
+                               np.asarray(ref["is_event_logits"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["1", "2"])
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_train_remat_chunked_grads_match(mode, version):
+    """AVMOE_CHUNK_ATTN_TRAIN (1=full remat, 2=save-P policy) grads ==
+    monolithic train-path grads."""
     blk = SwinBlock(dim=16, input_resolution=(8, 8), num_heads=2,
-                    window_size=4, shift_size=2, version="v2",
+                    window_size=4, shift_size=2, version=version,
                     dtype=jnp.float32)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(0, 1, (2, 64, 16)).astype(np.float32))
@@ -121,7 +196,7 @@ def test_train_remat_chunked_grads_match():
 
     os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "0"
     g_ref = jax.grad(loss)(variables["params"])
-    os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = "1"
+    os.environ["AVMOE_CHUNK_ATTN_TRAIN"] = mode
     try:
         g = jax.grad(loss)(variables["params"])
     finally:
