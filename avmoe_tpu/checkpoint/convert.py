@@ -819,3 +819,170 @@ def convert_mgn_net(
                           if k.startswith(f"{scope}.")}, f"{scope}."),
             depth=depth, use_han=han)
     return params, {"encoder": ebs}
+
+
+# ------------------------------------------------- legacy AVE (MMIL v1 / v2)
+
+
+def convert_dgsct_adapter(
+    sd: Dict[str, np.ndarray],
+    *,
+    num_conv_group: int = 2,
+    use_bn: bool = True,
+    use_gate: bool = True,
+    before_layernorm: bool = True,
+    post_layernorm: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Reference VisualAdapter (net_trans.py:437-666) -> (params, batch_stats)
+    for moe.dgsct_adapter.DGSCTAdapter. The unused gate_tk parameter
+    (net_trans.py:487, never read in forward) is dropped."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    bs: Dict[Tuple[str, ...], np.ndarray] = {}
+    _set(p, "token_proj_kernel", sd["conv_adapter.weight"].reshape(
+        sd["conv_adapter.weight"].shape[:2]))
+    _set(p, "token_proj_bias", sd["conv_adapter.bias"])
+    for name in ("fc", "fc_affine_audio_1", "fc_affine_video_1",
+                 "fc_affine_bottleneck", "fc_affine_video_2",
+                 "fc_affine_audio_2", "fc_affine_v_s_att",
+                 "fc_affine_v_c_att"):
+        _dense(p, sd, name, name)
+    _set(p, "latent_tokens", sd["my_tokens"])
+    _set(p, "gate_av", sd["gate_av"])
+    if use_gate:
+        _set(p, "gate", sd["gate"])
+    if before_layernorm:
+        _set(p, "ln_before/scale", sd["ln_before.weight"])
+        _set(p, "ln_before/bias", sd["ln_before.bias"])
+    if post_layernorm:
+        _set(p, "ln_post/scale", sd["ln_post.weight"])
+        _set(p, "ln_post/bias", sd["ln_post.bias"])
+    _set(p, "bottleneck/down/kernel",
+         _grouped_conv1x1(sd["down_sampler.weight"], num_conv_group))
+    _set(p, "bottleneck/up/kernel",
+         _grouped_conv1x1(sd["up_sampler.weight"], num_conv_group))
+    if use_bn:
+        for bn in ("bn1", "bn2"):
+            _set(p, f"bottleneck/{bn}/scale", sd[f"{bn}.weight"])
+            _set(p, f"bottleneck/{bn}/bias", sd[f"{bn}.bias"])
+            _set(bs, f"bottleneck/{bn}/mean", sd[f"{bn}.running_mean"])
+            _set(bs, f"bottleneck/{bn}/var", sd[f"{bn}.running_var"])
+    return traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(bs)
+
+
+def convert_lavish_adapter(
+    sd: Dict[str, np.ndarray],
+    *,
+    num_conv_group: int = 2,
+    use_bn: bool = True,
+    use_gate: bool = True,
+    before_layernorm: bool = True,
+    post_layernorm: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Reference VisualAdapter_lavish (net_trans.py:668-807) ->
+    (params, batch_stats) for models.ave_legacy.LAVisHAdapter."""
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    bs: Dict[Tuple[str, ...], np.ndarray] = {}
+    _set(p, "latent_tokens", sd["my_tokens"])
+    _set(p, "gate_av", sd["gate_av"])
+    if use_gate:
+        _set(p, "gate", sd["gate"])
+    if before_layernorm:
+        _set(p, "ln_before/scale", sd["ln_before.weight"])
+        _set(p, "ln_before/bias", sd["ln_before.bias"])
+    if post_layernorm:
+        _set(p, "ln_post/scale", sd["ln_post.weight"])
+        _set(p, "ln_post/bias", sd["ln_post.bias"])
+    _set(p, "bottleneck/down/kernel",
+         _grouped_conv1x1(sd["down_sampler.weight"], num_conv_group))
+    _set(p, "bottleneck/up/kernel",
+         _grouped_conv1x1(sd["up_sampler.weight"], num_conv_group))
+    if use_bn:
+        for bn in ("bn1", "bn2"):
+            _set(p, f"bottleneck/{bn}/scale", sd[f"{bn}.weight"])
+            _set(p, f"bottleneck/{bn}/bias", sd[f"{bn}.bias"])
+            _set(bs, f"bottleneck/{bn}/mean", sd[f"{bn}.running_mean"])
+            _set(bs, f"bottleneck/{bn}/var", sd[f"{bn}.running_var"])
+    return traverse_util.unflatten_dict(p), traverse_util.unflatten_dict(bs)
+
+
+def convert_mmil_v1(
+    sd: Dict[str, np.ndarray],
+    *,
+    n_sites: int = 12,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+    inter: bool = False,
+    adapter_kwargs: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """Reference MMIL_Net (v1, net_trans.py:809-1048) state_dict ->
+    (params, batch_stats) for models.ave_legacy.MMILNetV1. The unused
+    adapter_token_downsampler list (constructed :898-902, never called in
+    forward_swin) is dropped."""
+    adapter_kwargs = adapter_kwargs or {}
+    ep: Dict = {"swin": convert_swinv2_timm(strip_prefix(
+        {k: v for k, v in sd.items() if k.startswith("swin.")}, "swin."),
+        swin_depths)}
+    hp, hbs = convert_htsat(strip_prefix(
+        {k: v for k, v in sd.items() if k.startswith("htsat.")}, "htsat."),
+        htsat_depths)
+    ep["htsat"] = hp
+    ebs: Dict = {"htsat": hbs}
+    for src, dst in (("audio_adapter_blocks_p1", "audio_adapter_p1"),
+                     ("vis_adapter_blocks_p1", "vis_adapter_p1"),
+                     ("audio_adapter_blocks_p2", "audio_adapter_p2"),
+                     ("vis_adapter_blocks_p2", "vis_adapter_p2")):
+        kw = dict(adapter_kwargs)
+        if dst.startswith("vis_"):
+            kw["use_gate"] = True  # hardcoded in the ctor (net_trans.py:921)
+        for i in range(n_sites):
+            sub = strip_prefix(
+                {k: v for k, v in sd.items() if k.startswith(f"{src}.{i}.")},
+                f"{src}.{i}.")
+            ap, abs_ = convert_dgsct_adapter(sub, **kw)
+            ep[f"{dst}_{i}"] = ap
+            if abs_:
+                ebs[f"{dst}_{i}"] = abs_
+    params: Dict = {"encoder": ep,
+                    "temporal_attn": convert_temporal_attention(strip_prefix(
+                        {k: v for k, v in sd.items()
+                         if k.startswith("temporal_attn.")}, "temporal_attn.")),
+                    "cmbs": convert_cmbs(strip_prefix(
+                        {k: v for k, v in sd.items() if k.startswith("CMBS.")},
+                        "CMBS."), inter=inter)}
+    return params, {"encoder": ebs}
+
+
+def convert_mmil_v2(
+    sd: Dict[str, np.ndarray],
+    *,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    adapter_kwargs: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """Reference MMIL_Net_v2 (LAVisH, net_trans.py:1051-1241, swin flavor)
+    state_dict -> (params, batch_stats) for models.ave_legacy.MMILNetV2."""
+    adapter_kwargs = adapter_kwargs or {}
+    n_blocks = sum(swin_depths)
+    params: Dict = {"swin": convert_swinv2_timm(strip_prefix(
+        {k: v for k, v in sd.items() if k.startswith("swin.")}, "swin."),
+        swin_depths)}
+    bs: Dict = {}
+    for src, dst in (("audio_adapter_blocks_p1", "audio_adapter_p1"),
+                     ("vis_adapter_blocks_p1", "vis_adapter_p1"),
+                     ("audio_adapter_blocks_p2", "audio_adapter_p2"),
+                     ("vis_adapter_blocks_p2", "vis_adapter_p2")):
+        kw = dict(adapter_kwargs)
+        if dst.startswith("vis_"):
+            kw["use_gate"] = True  # hardcoded in the ctor (net_trans.py:1101)
+        for i in range(n_blocks):
+            sub = strip_prefix(
+                {k: v for k, v in sd.items() if k.startswith(f"{src}.{i}.")},
+                f"{src}.{i}.")
+            ap, abs_ = convert_lavish_adapter(sub, **kw)
+            params[f"{dst}_{i}"] = ap
+            if abs_:
+                bs[f"{dst}_{i}"] = abs_
+    _dense_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    _dense(_dense_flat, sd, "mlp_class", "mlp_class")
+    _dense(_dense_flat, sd, "mlp_class_2", "mlp_class_2")
+    params.update(traverse_util.unflatten_dict(_dense_flat))
+    return params, bs

@@ -31,6 +31,10 @@ from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["v3", "v1", "lavish"], default="v3",
+                   help="v3: MoE flagship (main_trans_v3); v1: DG-SCT MMIL_Net"
+                        " (main_trans); lavish: MMIL_Net_v2 shared-backbone"
+                        " baseline (main_trans_lavish)")
     p.add_argument("--mode", choices=["train", "test"], default="train",
                    help="test = restore checkpoint and evaluate (ref test.sh)")
     p.add_argument("--data_root", type=str, default=None)
@@ -82,6 +86,14 @@ def main():
         train_ds = AVEDataset(args.data_root, "train", img_size=cfg.swin.img_size)
         val_ds = AVEDataset(args.data_root, "test", img_size=cfg.swin.img_size)
 
+    if args.model == "lavish":
+        # MMIL_Net_v2 consumes kaldi-fbank images through the shared swin
+        # backbone; spectrogram side length = the swin input size
+        from avmoe_tpu.data.ave import LAVisHView
+        sr = cfg.htsat.frontend.sample_rate
+        train_ds = LAVisHView(train_ds, sample_rate=sr, size=cfg.swin.img_size)
+        val_ds = LAVisHView(val_ds, sample_rate=sr, size=cfg.swin.img_size)
+
     mesh = make_mesh()
     put = lambda b: shard_batch(b, mesh)
     train_loader = BatchLoader(train_ds, tcfg.batch_size, shuffle=True,
@@ -91,13 +103,45 @@ def main():
                              drop_last=False,  # eval covers every sample
                              num_workers=args.num_workers, device_put=put)
 
-    model = AVEModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     sample = train_ds[0]
     init_rngs = {"params": jax.random.PRNGKey(tcfg.seed),
                  "dropout": jax.random.PRNGKey(1), "specaug": jax.random.PRNGKey(2)}
+    if args.model == "v3":
+        model = AVEModel(cfg, dtype=dtype)
+        loss_fn, eval_fn = make_ave_loss_fn(model), make_ave_eval_fn(model)
+        a_key = "wave"
+    elif args.model == "v1":
+        from avmoe_tpu.metrics.ave import ave_accuracy
+        from avmoe_tpu.models.ave_legacy import MMILNetV1, make_mmil_v1_loss_fn
+
+        model = MMILNetV1(cfg, dtype=dtype)
+        loss_fn = make_mmil_v1_loss_fn(model)
+
+        def eval_fn(variables, batch):
+            out = model.apply(variables, batch["wave"], batch["images"],
+                              train=False)
+            return {"accuracy": ave_accuracy(
+                out["is_event_logits"], out["event_logits"], batch["labels"]),
+                "telemetry": out["telemetry"]}
+        a_key = "wave"
+    else:
+        from avmoe_tpu.models.ave_legacy import MMILNetV2, make_mmil_v2_loss_fn
+
+        model = MMILNetV2(cfg, dtype=dtype)
+        loss_fn = make_mmil_v2_loss_fn(model)
+
+        def eval_fn(variables, batch):
+            out = model.apply(variables, batch["audio_spec"], batch["images"],
+                              train=False)
+            gt = batch["labels"].reshape(-1, batch["labels"].shape[-1])
+            acc = (jnp.argmax(out["event_probs"], -1)
+                   == jnp.argmax(gt, -1)).mean()
+            return {"accuracy": acc, "telemetry": out["telemetry"]}
+        a_key = "audio_spec"
     variables = jax.jit(lambda r, w, im: model.init(r, w, im, train=True))(
         init_rngs,
-        jnp.asarray(sample["wave"][None]),
+        jnp.asarray(sample[a_key][None]),
         jnp.asarray(sample["images"][None]),
     )
     report = param_report(variables["params"])
@@ -109,8 +153,8 @@ def main():
                                steps_per_epoch=len(train_loader))
     state = replicate(state, mesh)
 
-    train_step = make_train_step(make_ave_loss_fn(model))
-    eval_step = make_eval_step(make_ave_eval_fn(model))
+    train_step = make_train_step(loss_fn)
+    eval_step = make_eval_step(eval_fn)
     ckpts = CheckpointManager(args.model_save_dir)
     tracker = ExpertUsageTracker(cfg.moe.num_experts)
 

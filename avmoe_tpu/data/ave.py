@@ -139,3 +139,57 @@ class SyntheticAVEDataset:
             "images": images,
             "labels": labels,
         }
+
+
+# ----------------------------------------------------- LAVisH (MMIL_Net_v2)
+
+# AVE-dataset fbank normalization stats for the 192-bin swin flavor
+# (ref: AVMOE/AVE/dataloader_lavish.py:80-85)
+LAVISH_NORM_MEAN = -4.984795570373535
+LAVISH_NORM_STD = 3.7079780101776123
+
+
+def wave_to_lavish_spec(
+    wave: np.ndarray,
+    *,
+    sample_rate: int = 16_000,
+    size: int = 192,
+    frame_shift_ms: float = 5.2,
+    norm_mean: float = LAVISH_NORM_MEAN,
+    norm_std: float = LAVISH_NORM_STD,
+) -> np.ndarray:
+    """(T, L) waveform segments -> (T, size, size) normalized kaldi-fbank
+    images for the LAVisH baseline (ref: dataloader_lavish.py:166-193:
+    num_mel_bins=192, frame_shift=5.2 ms, hanning, (x-mean)/(2*std),
+    zero-pad/cut to 192 frames)."""
+    from avmoe_tpu.audio.kaldi import fbank
+
+    out = np.zeros((wave.shape[0], size, size), np.float32)
+    for t in range(wave.shape[0]):
+        fb = fbank(wave[t], sample_frequency=sample_rate,
+                   frame_shift_ms=frame_shift_ms, num_mel_bins=size,
+                   window_type="hanning", htk_compat=True, use_energy=False)
+        fb = (fb - norm_mean) / (norm_std * 2.0)
+        n = min(size, fb.shape[0])
+        out[t, :n] = fb[:n]
+    return out
+
+
+class LAVisHView:
+    """Wraps an AVE-shaped dataset, replacing 'wave' with the LAVisH
+    'audio_spec' fbank image (the MMIL_Net_v2 input contract)."""
+
+    def __init__(self, base, *, sample_rate: int = 16_000, size: int = 192):
+        self.base = base
+        self.sample_rate = sample_rate
+        self.size = size
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = dict(self.base[idx])
+        wave = item.pop("wave")
+        item["audio_spec"] = wave_to_lavish_spec(
+            wave, sample_rate=self.sample_rate, size=self.size)
+        return item

@@ -382,6 +382,32 @@ def _chunk_target_bytes() -> int:
     return int(os.environ.get("AVMOE_CHUNK_MB", "4")) * 1024 * 1024
 
 
+def _chunk_unroll() -> int:
+    """Chunk-loop unroll factor (env AVMOE_CHUNK_UNROLL, default 1).
+
+    Each while-loop iteration carries ~0.3 ms of fixed machinery cost on
+    this stack (measured round 4: +34 loops cost +9.3 ms/fwd); unrolling k
+    chunk bodies per iteration divides the loop count by k while each body's
+    intermediates still stay VMEM-sized."""
+    import os
+
+    return int(os.environ.get("AVMOE_CHUNK_UNROLL", "1"))
+
+
+def _chunk_map(body, xs):
+    """lax.map with the configured unroll factor."""
+    u = _chunk_unroll()
+    if u <= 1:
+        return jax.lax.map(body, xs)
+    n = xs.shape[0] if not isinstance(xs, tuple) else xs[0].shape[0]
+    while n % u:
+        u -= 1
+    if u <= 1:
+        return jax.lax.map(body, xs)
+    _, ys = jax.lax.scan(lambda c, x: (c, body(x)), None, xs, unroll=u)
+    return ys
+
+
 def qkv_in_chunk() -> bool:
     """Compute the packed-qkv GEMM inside the attention chunk body (eval
     path; env AVMOE_QKV_IN_CHUNK, default on): the lax.map's sliced operand
@@ -395,14 +421,20 @@ def qkv_in_chunk() -> bool:
 
 def mlp_in_chunk() -> bool:
     """Fold norm2 + MLP + residual into a frame-chunked body (eval path; env
-    AVMOE_MLP_IN_CHUNK, default on). The MLP is per-token, so chunking is
+    AVMOE_MLP_IN_CHUNK, default OFF). The MLP is per-token, so chunking is
     exact; the (B, N, 4C) hidden stream and the norm2/residual passes stay
     in VMEM at the cost of re-reading the fc kernels once per chunk - a
     profitability check (see _plan_mlp_chunks) skips stages where the kernel
-    re-reads would exceed the stream savings."""
+    re-reads would exceed the stream savings.
+
+    Default OFF: measured round 4 on v5e — 83.2 clips/s fused vs 85.0
+    unfused (the per-while-iteration machinery ~0.27 ms/loop costs more than
+    the hidden-stream bytes saved; unroll=4 recovers only to 83.6). The
+    byte model in _plan_mlp_chunks is right about HBM traffic but loop
+    overhead dominates at these chunk counts."""
     import os
 
-    return os.environ.get("AVMOE_MLP_IN_CHUNK", "1") == "1"
+    return os.environ.get("AVMOE_MLP_IN_CHUNK", "0") == "1"
 
 
 def _mlp_chunk_target_bytes() -> int:
@@ -449,7 +481,7 @@ def chunked_mlp_state(x, *, norm2, k1, b1, k2, b2, version, dtype, f):
             out = _ln_chunk(out, n2_scale, n2_bias, n2_eps, dtype)
         return (xc + out).astype(x.dtype)
 
-    return jax.lax.map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
+    return _chunk_map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
 
 
 def attn_res_in_chunk() -> bool:
@@ -579,7 +611,7 @@ def chunked_window_attention(qkv, bias, mask, num_heads, *, version,
                 out = out + proj_bias.astype(dtype)
         return out.astype(dtype)
 
-    out = jax.lax.map(body, qkv.reshape(B_ // cb, cb, N, qkv.shape[-1]))
+    out = _chunk_map(body, qkv.reshape(B_ // cb, cb, N, qkv.shape[-1]))
     return out.reshape(B_, N, C)
 
 
@@ -664,7 +696,7 @@ def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
         out = _unpart(out)
         return (xc + out).astype(x.dtype)
 
-    return jax.lax.map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
+    return _chunk_map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
 
 
 class WindowAttentionV1(nn.Module):

@@ -107,7 +107,8 @@ def bench_eval(model, cfg):
         times.append(time.perf_counter() - t1)
     p50_amortized_ms = float(np.percentile(times, 50)) / BATCH_CLIPS * 1e3
 
-    # TRUE p50 latency: batch-1 call, per-call host sync
+    # TRUE p50 latency: batch-1 call, per-call host sync (includes the
+    # tunnel round-trip - the serving-shaped number on THIS transport)
     w1, i1 = wave[:1], imgs[:1]
     for _ in range(WARMUP):
         _sync(*fwd(variables, w1, i1))
@@ -118,8 +119,19 @@ def bench_eval(model, cfg):
         times.append(time.perf_counter() - t1)
     p50_batch1_ms = float(np.percentile(times, 50)) * 1e3
 
+    # DEVICE-side batch-1 step time: saturate the dispatch pipeline and
+    # amortize one final sync - the transport RTT overlaps with execution,
+    # so the steady-state per-dispatch time is the on-chip cost. The split
+    # (p50_batch1_ms - this) is what a local-host deployment would not pay.
+    t1 = time.perf_counter()
+    outs = None
+    for _ in range(ITERS):
+        outs = fwd(variables, w1, i1)
+    _sync(*outs)
+    p50_batch1_device_ms = (time.perf_counter() - t1) / ITERS * 1e3
+
     del variables
-    return clips_per_sec, p50_batch1_ms, p50_amortized_ms
+    return clips_per_sec, p50_batch1_ms, p50_amortized_ms, p50_batch1_device_ms
 
 
 def bench_train(cfg):
@@ -169,7 +181,7 @@ def main() -> None:
 
     cfg = AVEConfig()
     model = AVEModel(cfg, dtype=jnp.bfloat16)
-    clips_per_sec, p50_b1, p50_amort = bench_eval(model, cfg)
+    clips_per_sec, p50_b1, p50_amort, p50_b1_dev = bench_eval(model, cfg)
 
     rec = {
         "metric": "ave_clips_per_sec_per_chip",
@@ -177,6 +189,8 @@ def main() -> None:
         "unit": "clips/s",
         "vs_baseline": round(float(clips_per_sec) / NOMINAL_A100_CLIPS_PER_SEC, 3),
         "p50_batch1_ms": round(p50_b1, 3),
+        "p50_batch1_device_ms": round(p50_b1_dev, 3),
+        "p50_batch1_transport_ms": round(p50_b1 - p50_b1_dev, 3),
         "p50_amortized_ms": round(p50_amort, 3),
         "batch_clips": BATCH_CLIPS,
         "device": str(jax.devices()[0]),
