@@ -227,7 +227,7 @@ class LockstepEncoder(nn.Module):
 
         def run_adapter(adapters, x, other):
             nonlocal lb_losses
-            out, aux = adapters[site_idx](x, other, train)
+            out, aux = adapters[site_idx](dq(x), dq(other), train)
             if "lb_loss" in aux:
                 lb_losses.append(aux["lb_loss"])
             return out, aux
@@ -250,6 +250,26 @@ class LockstepEncoder(nn.Module):
             use_chunked_attn_state() and not chunked
             and not train and not self.is_initializing()
         )
+        # int8 stream storage (eval fast path; ops/quant.py): the residual
+        # streams live in HBM as int8 + per-token scales between sub-blocks.
+        # Chunk bodies and fusing consumers dequantize in VMEM; adapters
+        # receive a lazily-dequantized view (XLA duplicates the cheap convert
+        # into each consuming fusion). Stage boundaries re-quantize after the
+        # downsample GEMM.
+        from avmoe_tpu.ops.quant import (
+            add_to_stream, dequantize, quantize_stream, use_int8_stream)
+
+        q8 = (use_int8_stream() and not train and not self.is_initializing()
+              and not chunked and not attn_state)
+
+        def qs(x):
+            return quantize_stream(x) if q8 else x
+
+        def dq(x):
+            return dequantize(x, self.dtype) if q8 else x
+
+        f_v = qs(f_v)
+        f_a = qs(f_a)
 
         def v_block(f_v, idx):
             if chunked:
@@ -354,12 +374,12 @@ class LockstepEncoder(nn.Module):
                         tele["audio_p1"].append(aux_a["gating_probs"])
                         tele["video_p1"].append(aux_v["gating_probs"])
                         f_v = v_part(f_v, vlo + v_off, "attn")
-                        f_v = f_v + f_v_res
+                        f_v = add_to_stream(f_v, f_v_res)
                     else:
                         f_v = v_part(f_v, vlo + v_off, "attn")
                     f_a = a_block(f_a, alo + a_off)  # whole audio block between seams
                     if inj.audio_adapter_p1:
-                        f_a = f_a + f_a_res
+                        f_a = add_to_stream(f_a, f_a_res)
                     # --- p2: adapters around the visual MLP sub-block ----------
                     if inj.audio_adapter_p2:
                         f_a_res2, aux_a2 = run_adapter(self.audio_moe_p2, f_a, f_v)
@@ -368,18 +388,20 @@ class LockstepEncoder(nn.Module):
                         tele["video_p2"].append(aux_v2["gating_probs"])
                     f_v = v_part(f_v, vlo + v_off, "mlp")
                     if inj.audio_adapter_p2:
-                        f_v = f_v + f_v_res2
-                        f_a = f_a + f_a_res2
+                        f_v = add_to_stream(f_v, f_v_res2)
+                        f_a = add_to_stream(f_a, f_a_res2)
                     site_idx += 1
             if collect_stages:
                 is_last = stage == len(self.swin_cfg.depths) - 1
-                stage_tokens.append(self.swin.norm(f_v) if is_last else f_v)
+                stage_tokens.append(self.swin.norm(dq(f_v)) if is_last
+                                    else dq(f_v))
             if stage < len(self.swin.downsamples):
-                f_v = shard_tokens(self.swin.downsamples[stage](f_v))
+                f_v = qs(shard_tokens(self.swin.downsamples[stage](dq(f_v))))
             if stage < len(self.htsat.downsamples):
-                f_a = shard_tokens(self.htsat.downsamples[stage](f_a))
+                f_a = qs(shard_tokens(self.htsat.downsamples[stage](dq(f_a))))
 
-        f_v = self.swin.norm(f_v)
+        f_v = self.swin.norm(dq(f_v))
+        f_a = dq(f_a)
 
         telemetry = {
             k: jnp.stack(v, axis=0) if v else jnp.zeros((0,)) for k, v in tele.items()

@@ -627,7 +627,15 @@ def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
     permutation and the residual add all run on VMEM-resident chunk data -
     the only stream-sized HBM traffic is one read of x and one write of the
     result. norm1 is (scale, bias, eps). Eval path only (dropout inert).
+
+    With a QStream x (int8 stream storage, ops/quant.py) the lax.map operand
+    and output are the int8 values + per-token scales: dequant/requant run on
+    the VMEM-resident chunk, so the sub-block's stream HBM traffic halves
+    again (int8 read + int8 write).
     """
+    from avmoe_tpu.ops.quant import QStream
+
+    is_q = isinstance(x, QStream)
     B, L, C = x.shape
     H_heads = num_heads
     D = C // H_heads
@@ -661,6 +669,9 @@ def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
         return t.reshape(f, L, C)
 
     def body(xc):
+        if is_q:
+            qc, sc = xc
+            xc = qc.astype(dtype) * sc.astype(dtype)
         xw = _part(xc)
         if version == "v1":
             h = _ln_chunk(xw, n1_scale, n1_bias, n1_eps, dtype)
@@ -694,8 +705,18 @@ def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
         if version == "v2":
             out = _ln_chunk(out, n1_scale, n1_bias, n1_eps, dtype)
         out = _unpart(out)
-        return (xc + out).astype(x.dtype)
+        out = xc + out
+        if not is_q:
+            return out.astype(x.dtype)
+        of = out.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(of), axis=-1, keepdims=True)
+        s2 = jnp.maximum(amax, 1e-12) / 127.0
+        return jnp.round(of / s2).astype(jnp.int8), s2
 
+    if is_q:
+        qo, so = _chunk_map(body, (x.q.reshape(B // f, f, L, C),
+                                   x.s.reshape(B // f, f, L, 1)))
+        return QStream(qo.reshape(B, L, C), so.reshape(B, L, 1))
     return _chunk_map(body, x.reshape(B // f, f, L, C)).reshape(B, L, C)
 
 
@@ -1013,16 +1034,21 @@ class SwinBlock(nn.Module):
         the residual add all run inside one mapped chunk body (one stream
         read + one stream write of HBM traffic; see chunked_attn_residual);
         otherwise identical math via the unfused sub-block pieces."""
+        from avmoe_tpu.ops.quant import QStream, dequantize
+
         fused = (not train and attn_res_in_chunk() and use_chunked_attention()
                  and qkv_in_chunk()
                  and (self.version == "v2" or chunk_v1()))
         if not fused:
+            if isinstance(x, QStream):
+                x = dequantize(x, self.dtype)
             return x + self.attn_residual(x, train=train)
         H, W = self.input_resolution
         window, shift = self._geometry()
         mask_np = shifted_window_mask(H, W, window, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        scale, bias = self.norm1(x, params_only=True)
+        scale, bias = self.norm1(jnp.zeros((1, x.shape[-1]), self.dtype),
+                                 params_only=True)
         return self.attn(
             x, mask=mask, train=train,
             fused_residual=dict(H=H, W=W, shift=shift,
@@ -1030,14 +1056,22 @@ class SwinBlock(nn.Module):
 
     def mlp_state(self, x, train: bool = False):
         """State update `x + mlp_residual(x)`; norm2 + MLP + residual run in
-        one frame-chunked body on the eval path when profitable."""
+        one frame-chunked body on the eval path when profitable. A QStream x
+        stays int8 in HBM: the dequant fuses into the norm2 stat pass and the
+        residual add, the requantize into the fc2 epilogue (ops/quant.py)."""
+        from avmoe_tpu.ops.quant import QStream, dequantize, quantize_stream
+
         B, L, C = x.shape
+        is_q = isinstance(x, QStream)
         f = None
-        if not train and mlp_in_chunk():
+        if not train and mlp_in_chunk() and not is_q:
             esize = 2 if self.dtype != jnp.float32 else 4
             f = _plan_mlp_chunks(B, L, C, int(self.dim * self.mlp_ratio),
                                  esize)
         if f is None:
+            if is_q:
+                xb = dequantize(x, self.dtype)
+                return quantize_stream(xb + self.mlp_residual(xb, train=train))
             return x + self.mlp_residual(x, train=train)
         k1, b1, k2, b2 = self.mlp(x, kernels_only=True)
         scale, bias = self.norm2(x, params_only=True)

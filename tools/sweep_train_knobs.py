@@ -47,6 +47,15 @@ CONFIGS = [
      {"AVMOE_CHUNK_ATTN_TRAIN": "1", "AVMOE_FUSED_MOE_TRAIN": "1"}, None),
     ("b8 chunk=0 fused-moe-train", 8,
      {"AVMOE_CHUNK_ATTN_TRAIN": "0", "AVMOE_FUSED_MOE_TRAIN": "1"}, None),
+    # round 4: save-P chunked attention (mode 2 - softmax probs saved, only
+    # the qkv relayout reruns in the backward; the (B,H,N,N) softmax GRADS
+    # never materialize at stream size)
+    ("b4 chunk=2 save-P fused-moe-train", 4,
+     {"AVMOE_CHUNK_ATTN_TRAIN": "2", "AVMOE_FUSED_MOE_TRAIN": "1"}, None),
+    ("b8 chunk=2 save-P fused-moe-train", 8,
+     {"AVMOE_CHUNK_ATTN_TRAIN": "2", "AVMOE_FUSED_MOE_TRAIN": "1"}, None),
+    ("b16 chunk=2 save-P fused-moe-train", 16,
+     {"AVMOE_CHUNK_ATTN_TRAIN": "2", "AVMOE_FUSED_MOE_TRAIN": "1"}, None),
 ]
 
 WARMUP, ITERS = 2, 10
