@@ -26,7 +26,7 @@ from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_eval_step, make_train_step
 from avmoe_tpu.checkpoint.manager import CheckpointManager
 from avmoe_tpu.telemetry.experts import ExpertUsageTracker
-from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache, pipelined
 
 
 def parse_args():
@@ -166,8 +166,9 @@ def main():
         # restore best checkpoint and evaluate (ref: main_trans_v3.py:349-354)
         state = ckpts.restore(state, params_only=True)
         accs = []
-        for batch in val_loader:
-            metrics = eval_step(state, batch)
+        # double-buffered dispatch: batch i's host readback overlaps batch
+        # i+1/i+2 on device (the per-batch sync costs a ~45 ms tunnel RTT)
+        for _, metrics in pipelined(lambda b: eval_step(state, b), val_loader):
             tracker.update(metrics.pop("telemetry", {}))
             accs.append(float(metrics["accuracy"]))
         tracker.save(args.model_save_dir)

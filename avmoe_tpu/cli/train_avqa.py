@@ -26,7 +26,7 @@ from avmoe_tpu.telemetry.meters import AverageMeter
 from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_train_step
-from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache, pipelined
 
 log = logging.getLogger("avmoe_tpu.avqa")
 
@@ -182,11 +182,14 @@ def main():
             acc = AVQAAccuracy()
             variables_eval = {"params": merge_params(state.trainable, state.frozen),
                               "batch_stats": state.batch_stats}
-            for b in val_loader:
-                pred, telemetry = predict(variables_eval, jnp.asarray(b["wave"]),
-                                          jnp.asarray(b["visual_posi"]),
-                                          jnp.asarray(b["visual_nega"]),
-                                          jnp.asarray(b["question"]))
+            # double-buffered dispatch: host-side accuracy bookkeeping for
+            # batch i overlaps batches i+1/i+2 on device
+            for b, (pred, telemetry) in pipelined(
+                    lambda b: predict(variables_eval, jnp.asarray(b["wave"]),
+                                      jnp.asarray(b["visual_posi"]),
+                                      jnp.asarray(b["visual_nega"]),
+                                      jnp.asarray(b["question"])),
+                    val_loader):
                 tracker.update(telemetry)
                 acc.update(np.asarray(pred), b["answer"], list(b["qtype_str"]))
             summary = acc.summary()

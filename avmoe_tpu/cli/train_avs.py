@@ -23,7 +23,7 @@ from avmoe_tpu.telemetry.meters import AverageMeter
 from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_train_step
-from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache
+from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache, pipelined
 
 log = logging.getLogger("avmoe_tpu.avs")
 
@@ -134,8 +134,11 @@ def main():
         variables_eval = {"params": merge_params(state.trainable, state.frozen),
                           "batch_stats": state.batch_stats}
         ious, preds, gts = [], [], []
-        for bi, batch in enumerate(val_loader):
-            logits, telemetry = predict(variables_eval, batch["images"], batch["wave"])
+        # double-buffered dispatch: mask readback/IoU on host overlaps the
+        # next batches' device execution (per-batch sync costs ~45 ms RTT)
+        for (bi, batch), (logits, telemetry) in pipelined(
+                lambda t: predict(variables_eval, t[1]["images"], t[1]["wave"]),
+                enumerate(val_loader)):
             tracker.update(telemetry)
             mask = batch["mask"].reshape((-1,) + batch["mask"].shape[-2:])
             ious.append(float(mask_iou(logits, mask)))
@@ -168,8 +171,9 @@ def main():
                           "batch_stats": state.batch_stats}
         tracker.reset()
         ious, preds, gts = [], [], []
-        for batch in val_loader:
-            logits, telemetry = predict(variables_eval, batch["images"], batch["wave"])
+        for batch, (logits, telemetry) in pipelined(
+                lambda b: predict(variables_eval, b["images"], b["wave"]),
+                val_loader):
             tracker.update(telemetry)
             mask = batch["mask"]
             mask = mask.reshape((-1,) + mask.shape[-2:])

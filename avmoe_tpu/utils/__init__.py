@@ -2,6 +2,8 @@ from avmoe_tpu.utils.runtime import (
     apply_platform_override,
     count_params,
     enable_compilation_cache,
+    pipelined,
 )
 
-__all__ = ["apply_platform_override", "enable_compilation_cache", "count_params"]
+__all__ = ["apply_platform_override", "enable_compilation_cache",
+           "count_params", "pipelined"]

@@ -62,6 +62,31 @@ def archive_sources(dst_dir: str, root: Optional[str] = None) -> int:
     return count
 
 
+def pipelined(fn, iterable, depth: int = 2):
+    """Iterate ``(item, fn(item))`` pairs with `depth` dispatches in flight.
+
+    Through the TPU tunnel every host readback of a step's outputs costs a
+    full dispatch round-trip (~45 ms measured), so an eval loop that syncs
+    per batch serializes device work behind transport RTT. This generator
+    dispatches batch i+depth before yielding batch i, so the consumer's
+    ``float()`` / ``np.asarray()`` readback overlaps the device execution of
+    the batches still in flight. `fn` must only dispatch (return jax arrays
+    or pytrees without forcing a host sync).
+
+    Replaces the per-batch-synced eval loops of the reference drivers
+    (ref: AVMOE/AVE/main_trans_v3.py:349-354 test loop).
+    """
+    from collections import deque
+
+    q = deque()
+    for item in iterable:
+        q.append((item, fn(item)))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 @contextlib.contextmanager
 def profiler_trace(logdir: str):
     """jax.profiler trace scope (view with tensorboard / xprof)."""

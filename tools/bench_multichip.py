@@ -27,6 +27,11 @@ tools/bench_multichip.py  (CPU-only; ~10 min cold, cached after).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import re
@@ -160,7 +165,7 @@ def main() -> None:
 
     # flagship trainable-gradient volume (shape inference only - no compile)
     from avmoe_tpu.config import AVEConfig
-    from avmoe_tpu.train.freeze import split_params
+    from avmoe_tpu.train.freeze import partition_params
 
     fcfg = AVEConfig()
     fmodel = AVEModel(fcfg, dtype=jnp.bfloat16)
@@ -170,7 +175,7 @@ def main() -> None:
         jax.ShapeDtypeStruct((B, T, fcfg.audio_len), jnp.float32),
         jax.ShapeDtypeStruct((B, T, fcfg.swin.img_size, fcfg.swin.img_size, 3),
                              jnp.float32))
-    trainable, frozen = split_params(shapes["params"])
+    trainable, frozen = partition_params(shapes["params"])
     tbytes = sum(np.prod(l.shape) * 4 for l in
                  jax.tree_util.tree_leaves(trainable))
     fbytes = sum(np.prod(l.shape) * 4 for l in
@@ -178,8 +183,9 @@ def main() -> None:
     summary = {
         "flagship_trainable_grad_mb": round(float(tbytes) / 2**20, 1),
         "flagship_frozen_param_mb": round(float(fbytes) / 2**20, 1),
-        "train_allreduce_bytes_tiny": results[0]["collectives"].get(
-            "all-reduce", {}).get("bytes", 0),
+        "train_allreduce_bytes_tiny": max(
+            r["collectives"].get("all-reduce", {}).get("bytes", 0)
+            for r in results if r["mode"] == "train"),
         "note": ("dp train inserts one grad all-reduce over TRAINABLE params "
                  "only (frozen backbones contribute no gradient traffic); "
                  "dp eval inserts zero stream collectives - per-chip "

@@ -4,6 +4,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import os
 os.environ.setdefault("AVMOE_BF16_LOGITS", "1")
 os.environ.setdefault("AVMOE_FUSED_MOE", "1")
+os.environ.setdefault("AVMOE_FAST_GELU", "1")
 import time
 import jax, jax.numpy as jnp, numpy as np
 from avmoe_tpu.utils import enable_compilation_cache

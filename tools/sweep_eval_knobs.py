@@ -36,6 +36,16 @@ CONFIGS = [
     ("CHUNK_V1=0 (monolithic audio attn)", {"AVMOE_CHUNK_V1": "0"}),
     ("CHUNK_MB=8 + CHUNK_V1=0", {"AVMOE_CHUNK_MB": "8", "AVMOE_CHUNK_V1": "0"}),
     ("CHUNK_ATTN=0 (monolithic all)", {"AVMOE_CHUNK_ATTN": "0"}),
+    # round 4: with qkv/proj/norm/residual now in-body, larger chunks cut
+    # per-iteration loop machinery AND kernel rereads - re-sweep
+    ("UNROLL=2", {"AVMOE_CHUNK_UNROLL": "2"}),
+    ("UNROLL=4", {"AVMOE_CHUNK_UNROLL": "4"}),
+    ("CHUNK_MB=8 + UNROLL=2",
+     {"AVMOE_CHUNK_MB": "8", "AVMOE_CHUNK_UNROLL": "2"}),
+    ("CHUNK_MB=16 + UNROLL=2",
+     {"AVMOE_CHUNK_MB": "16", "AVMOE_CHUNK_UNROLL": "2"}),
+    ("CHUNK_MB=32", {"AVMOE_CHUNK_MB": "32"}),
+    ("SCOPED_VMEM=65536", {"AVMOE_SCOPED_VMEM_KIB": "65536"}),
 ]
 
 B, WARMUP, ITERS = 4, 3, 20
@@ -62,8 +72,10 @@ def main() -> None:
         os.environ.update(env)
         try:
             t0 = time.time()
+            kib = os.environ.get("AVMOE_SCOPED_VMEM_KIB")
+            opts = ({"xla_tpu_scoped_vmem_limit_kib": kib} if kib else None)
 
-            @jax.jit
+            @(lambda f: jax.jit(f, compiler_options=opts))
             def fwd(variables, wave, imgs):
                 out = model.apply(variables, wave, imgs, train=False)
                 return out["is_event_logits"], out["event_logits"]
