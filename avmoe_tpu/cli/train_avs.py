@@ -155,6 +155,13 @@ def main():
         return
 
     from avmoe_tpu.telemetry.experts import ExpertUsageTracker
+    from avmoe_tpu.utils.runtime import archive_sources
+
+    # snapshot the running sources next to the run's checkpoints for
+    # reproducibility (ref: avs_s4/train_v2.py:102-114 script self-archival)
+    n_archived = archive_sources(args.model_save_dir)
+    log.info("archived %d source files to %s/sources", n_archived,
+             args.model_save_dir)
 
     tracker = ExpertUsageTracker(cfg.moe.num_experts)
     rng = jax.random.PRNGKey(tcfg.seed)

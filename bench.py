@@ -30,6 +30,10 @@ os.environ.setdefault("AVMOE_FUSED_MOE", "1")
 # tanh-approx GELU (max rel err ~3e-3, below bf16 stream noise; erf lowering
 # costs ~10 ms/forward on the VPU). Train keeps exact GELU by default.
 os.environ.setdefault("AVMOE_FAST_GELU", "1")
+# unroll 4 chunk bodies per loop iteration: divides the per-iteration loop
+# machinery and loop-invariant kernel rereads by 4 (round-4 sweep: 86.0 vs
+# 85.3 clips/s base - marginal but free; identical math)
+os.environ.setdefault("AVMOE_CHUNK_UNROLL", "4")
 # train-step fast mode (round-3 sweep, tools/sweep_train_knobs.py):
 # monolithic attention beats chunk+remat at batch 4 (22.1 vs 19.5 clips/s),
 # and the fused bottleneck-rank MoE combine now runs in TRAIN too with
@@ -130,8 +134,19 @@ def bench_eval(model, cfg):
     _sync(*outs)
     p50_batch1_device_ms = (time.perf_counter() - t1) / ITERS * 1e3
 
+    # bytes/clip from XLA's cost analysis of the SAME compiled program, so
+    # every clips/s claim carries its roofline position (BASELINE.md)
+    try:
+        ca = fwd.lower(variables, wave, imgs).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        bytes_per_clip_gb = float(ca.get("bytes accessed", 0.0)) / BATCH_CLIPS / 2**30
+    except Exception:
+        bytes_per_clip_gb = None
+
     del variables
-    return clips_per_sec, p50_batch1_ms, p50_amortized_ms, p50_batch1_device_ms
+    return (clips_per_sec, p50_batch1_ms, p50_amortized_ms,
+            p50_batch1_device_ms, bytes_per_clip_gb)
 
 
 def bench_train(cfg):
@@ -181,7 +196,7 @@ def main() -> None:
 
     cfg = AVEConfig()
     model = AVEModel(cfg, dtype=jnp.bfloat16)
-    clips_per_sec, p50_b1, p50_amort, p50_b1_dev = bench_eval(model, cfg)
+    clips_per_sec, p50_b1, p50_amort, p50_b1_dev, bpc = bench_eval(model, cfg)
 
     rec = {
         "metric": "ave_clips_per_sec_per_chip",
@@ -193,6 +208,7 @@ def main() -> None:
         "p50_batch1_transport_ms": round(p50_b1 - p50_b1_dev, 3),
         "p50_amortized_ms": round(p50_amort, 3),
         "batch_clips": BATCH_CLIPS,
+        "bytes_per_clip_gb": round(bpc, 3) if bpc is not None else None,
         "device": str(jax.devices()[0]),
     }
     if not SKIP_TRAIN:
