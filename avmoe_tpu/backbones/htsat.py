@@ -132,7 +132,12 @@ class HTSATEncoder(nn.Module):
         spec = fe.log_mel_spectrogram(wave.astype(jnp.float32), c.frontend)
         # bn0 normalizes per mel bin (ref: htsat.py:453, applied :757-759)
         spec = self.bn0(spec, use_running_average=not train)
-        if train:
+        # SpecAugment is train-time stochastic; AVMOE_DETERMINISTIC_TRAIN=1
+        # (utils.runtime.dropout_det) disables it for cross-framework
+        # training-curve parity tests
+        from avmoe_tpu.utils.runtime import dropout_det
+
+        if train and not dropout_det(train):
             spec = fe.spec_augment(self.make_rng("specaug"), spec, c.frontend)
         if train and mixup_lambda is not None:
             spec = fe.mixup(spec, mixup_lambda)

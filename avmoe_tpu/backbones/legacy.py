@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.backbones.resnet import ResNetStage
 
 
@@ -138,7 +140,7 @@ class SimpleViT(nn.Module):
         for i in range(self.depth):
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x)
             h = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, deterministic=not train,
+                num_heads=self.num_heads, deterministic=dropout_det(train),
                 name=f"attn_{i}")(h, h)
             x = x + h
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.ops.swin import DropPath
 
 
@@ -38,9 +40,9 @@ class PVTMlp(nn.Module):
         x = nn.Dense(self.hidden, name="fc1")(x)
         x = DWConv(self.hidden, name="dwconv")(x, h, w)
         x = nn.gelu(x)
-        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dropout(self.drop, deterministic=dropout_det(train))(x)
         x = nn.Dense(self.out, name="fc2")(x)
-        return nn.Dropout(self.drop, deterministic=not train)(x)
+        return nn.Dropout(self.drop, deterministic=dropout_det(train))(x)
 
 
 class SRAttention(nn.Module):
@@ -70,10 +72,10 @@ class SRAttention(nn.Module):
         k, v = kv[:, :, 0], kv[:, :, 1]
         attn = jnp.einsum("bnhd,bshd->bhns", q, k) * (D ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=dropout_det(train))(attn)
         out = jnp.einsum("bhns,bshd->bnhd", attn, v).reshape(B, N, C)
         out = nn.Dense(C, name="proj")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return nn.Dropout(self.proj_drop, deterministic=dropout_det(train))(out)
 
 
 class PVTBlock(nn.Module):

@@ -20,7 +20,12 @@ from flax import traverse_util
 
 
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
-    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    # COPY: tensor.numpy() shares storage with the live module, and
+    # np.asarray is a no-copy passthrough — without the copy, training the
+    # torch model after converting mutates the converted tree in place
+    # (caught by tests/test_training_parity.py).
+    return {k: np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                        copy=True)
             for k, v in state_dict.items()}
 
 

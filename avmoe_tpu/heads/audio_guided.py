@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 
 class AudioGuidedAttention(nn.Module):
     video_dim: int = 512
@@ -36,7 +38,7 @@ class AudioGuidedAttention(nn.Module):
         att = jax.nn.softmax(jnp.einsum("bnd,bmd->bnm", q, k), axis=-1)
         out = jnp.einsum("bnm,bmc->bnc", att, v)
         grid = nn.LayerNorm(epsilon=1e-5, name="norm")(
-            grid + nn.Dropout(0.2, deterministic=not train)(out))
+            grid + nn.Dropout(0.2, deterministic=dropout_det(train))(out))
 
         # video-average spatial gate
         avg = nn.relu(nn.Dense(self.hidden_dim, name="affine_video_ave")(

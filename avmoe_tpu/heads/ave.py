@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.heads.common import BiLSTM, TransformerDecoder, TransformerEncoder
 
 
@@ -33,7 +35,7 @@ class TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, visual, audio, *, train: bool = False):
-        det = not train
+        det = dropout_det(train)
         audio = nn.Dense(self.audio_fc_dim, name="a_fc")(audio)
         visual = nn.Dense(self.video_fc_dim, name="v_fc")(visual)
         visual = nn.Dropout(0.2, deterministic=det)(nn.relu(visual))
@@ -93,7 +95,7 @@ class AudioVideoInter(nn.Module):
 
     @nn.compact
     def __call__(self, video, audio, *, train: bool = False):
-        det = not train
+        det = dropout_det(train)
         global_feat = video * audio
         memory = jnp.concatenate([audio, video], axis=1)
         mid = nn.MultiHeadDotProductAttention(

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.heads.common import BiLSTM, TransformerDecoder, TransformerEncoder
 
 
@@ -182,7 +184,7 @@ class MultiScaleTemporalAttention(nn.Module):
         for i, fmap in enumerate(feature_maps):
             pooled = fmap.mean(axis=(1, 2)).reshape(B, T, -1)   # (B, T, 256)
             v = nn.Dense(self.d_model, name=f"v_fc_{i}")(pooled)
-            v = nn.Dropout(0.2, deterministic=not train)(nn.relu(v))
+            v = nn.Dropout(0.2, deterministic=dropout_det(train))(nn.relu(v))
             a_rnn = BiLSTM(self.d_model // 2, name=f"audio_rnn_{i}")(audio)
             v_rnn = BiLSTM(self.d_model, name=f"visual_rnn_{i}")(v)
 

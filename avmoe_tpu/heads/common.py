@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 
 class EncoderLayer(nn.Module):
     d_model: int
@@ -20,7 +22,7 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        det = not train
+        det = dropout_det(train)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dropout_rate=self.dropout, deterministic=det,
             name="self_attn",
@@ -41,7 +43,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, *, train: bool = False):
-        det = not train
+        det = dropout_det(train)
         mem = jnp.concatenate([memory, tgt], axis=1)  # keys/values include target
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dropout_rate=self.dropout, deterministic=det,

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.ops.swin import DropPath, Mlp
 
 
@@ -58,10 +60,10 @@ class ProjAttention(nn.Module):
         v = nn.Dense(C, use_bias=self.qkv_bias, name="v_proj")(value).reshape(B, -1, H, D)
         attn = jnp.einsum("bnhd,bshd->bhns", q, k) * (D ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=dropout_det(train))(attn)
         out = jnp.einsum("bhns,bshd->bnhd", attn, v).reshape(B, N, C)
         out = nn.Dense(C, name="proj")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return nn.Dropout(self.proj_drop, deterministic=dropout_det(train))(out)
 
 
 class AttnBlock(nn.Module):

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.config import AVEConfig
 from avmoe_tpu.heads.ave import CMBSHead, TemporalAttention
 from avmoe_tpu.moe.injection import LockstepEncoder
@@ -78,8 +80,8 @@ class AVEModel(nn.Module):
             if c.is_temporal_att:
                 visual, audio, av_gate = self.temporal_attn(f_v, f_a, train=train)
             else:
-                visual = nn.Dropout(0.1, deterministic=not train)(nn.relu(self.v_fc(f_v)))
-                audio = nn.Dropout(0.1, deterministic=not train)(nn.relu(self.a_fc(f_a)))
+                visual = nn.Dropout(0.1, deterministic=dropout_det(train))(nn.relu(self.v_fc(f_v)))
+                audio = nn.Dropout(0.1, deterministic=dropout_det(train))(nn.relu(self.a_fc(f_a)))
             is_event_logits, event_logits, av_score = self.cmbs(visual, audio, train=train)
             return {
                 "is_event_logits": is_event_logits,

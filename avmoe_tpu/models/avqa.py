@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.config import AVQAConfig
 from avmoe_tpu.moe.injection import LockstepEncoder
 
@@ -47,7 +49,7 @@ class _QueryAttentionFFN(nn.Module):
 
     @nn.compact
     def __call__(self, q, kv, *, train: bool = False):
-        det = not train
+        det = dropout_det(train)
         att = nn.MultiHeadDotProductAttention(
             num_heads=4, dropout_rate=0.1, deterministic=det, name="attn",
         )(q[:, None, :], kv)[:, 0]

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.config import AdapterConfig, MoEConfig
 from avmoe_tpu.ops.norm import BatchNorm, LayerNorm
 from avmoe_tpu.ops.swin import bf16_attention_logits
@@ -222,7 +224,7 @@ class UnimodalExpert(nn.Module):
             # docs/PARITY.md "mha expert batch dependence").
             x_t = x.transpose(1, 0, 2)  # (N, B', C)
             x_t = nn.MultiHeadDotProductAttention(
-                num_heads=4, dropout_rate=0.2, deterministic=not train,
+                num_heads=4, dropout_rate=0.2, deterministic=dropout_det(train),
                 dtype=self.dtype, name="self_attention",
             )(x_t, x_t)
             x = x_t.transpose(1, 0, 2)

@@ -29,6 +29,8 @@ import numpy as np
 from flax import linen as nn
 from jax import ad_checkpoint
 
+from avmoe_tpu.utils.runtime import dropout_det
+
 from avmoe_tpu.ops.norm import LayerNorm
 
 
@@ -176,9 +178,9 @@ class Mlp(nn.Module):
             return k1, b1, k2, b2
         x = fc1(x)
         x = nn.gelu(x, approximate=True) if fast_gelu() else self.act(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout, deterministic=dropout_det(train))(x)
         x = fc2(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout, deterministic=dropout_det(train))(x)
         return x
 
 
@@ -503,6 +505,27 @@ def attn_res_in_chunk() -> bool:
     return os.environ.get("AVMOE_ATTN_RES_IN_CHUNK", "1") == "1"
 
 
+def relayout_probe_mode() -> int:
+    """PERF PROBE ONLY (env AVMOE_PROBE_RELAYOUT, default 0 = off): bound the
+    cost of the in-body window relayouts in `chunked_attn_residual` to decide
+    whether window-layout-resident streams (keeping the residual stream
+    window-partitioned BETWEEN blocks) can pay. Modes:
+
+      1 — drop both relayouts (entry and exit become pure reshapes). This is
+          the perf UPPER BOUND of window residency: numerics are WRONG for
+          shifted blocks (tokens attend in raster windows instead of rolled
+          ones), but shapes/FLOPs/bytes are identical.
+      2 — entry is a pure reshape; exit applies ONE composed static gather
+          from this block's layout to the alternate-shift layout. This is the
+          steady-state COST MODEL of a window-resident stream (each block
+          pays exactly one composed relayout at exit). Numerics WRONG.
+
+    Never enable outside perf probes; parity tests run with it unset."""
+    import os
+
+    return int(os.environ.get("AVMOE_PROBE_RELAYOUT", "0"))
+
+
 def _ln_chunk(x, scale, bias, eps, dtype):
     """LayerNorm matching ops.norm.LayerNorm's math (f32 stats, elementwise
     apply in `dtype`) for use inside chunk bodies on VMEM-resident data."""
@@ -654,7 +677,11 @@ def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
     # in-body (un)partition as pure reshape/transpose/roll: layout ops XLA
     # fuses on VMEM-resident chunks (a take-gather here measured 514 GB/s
     # effective stream bandwidth vs 819 peak - lane-inefficient)
+    probe = relayout_probe_mode()
+
     def _part(t):  # (f, L, C) -> (cb, N, C)
+        if probe:  # perf probe: entry becomes a pure reshape (see docstring)
+            return t.reshape(cb, N, C)
         t = t.reshape(f, H, W, C)
         if shift:
             t = jnp.roll(t, (-shift, -shift), axis=(1, 2))
@@ -662,6 +689,17 @@ def chunked_attn_residual(x, *, H, W, window, shift, bias, mask, num_heads,
         return t.transpose(0, 1, 3, 2, 4, 5).reshape(cb, N, C)
 
     def _unpart(t):  # (cb, N, C) -> (f, L, C)
+        if probe == 1:
+            return t.reshape(f, L, C)
+        if probe == 2:
+            # steady-state window-resident cost model: ONE composed static
+            # gather from this block's window layout to the alternate-shift
+            # layout (what the next block would consume)
+            alt = window // 2 if shift == 0 else 0
+            _, inv_s = _shifted_partition_perm(H, W, window, shift)
+            idx_a, _ = _shifted_partition_perm(H, W, window, alt)
+            comp = inv_s[idx_a]
+            return jnp.take(t.reshape(f, L, C), jnp.asarray(comp), axis=1)
         t = t.reshape(f, H // window, W // window, window, window, C)
         t = t.transpose(0, 1, 3, 2, 4, 5).reshape(f, H, W, C)
         if shift:
@@ -793,7 +831,7 @@ class WindowAttentionV1(nn.Module):
                 elif train and logits_bytes > attn_remat_threshold_bytes():
                     core = jax.checkpoint(core)
                 out = proj_mod(core(qkv_mod(x), bias))
-            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+            return nn.Dropout(self.proj_drop, deterministic=dropout_det(train))(out)
 
         qkv = qkv_mod(x).reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, D)
@@ -807,14 +845,14 @@ class WindowAttentionV1(nn.Module):
             attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
             attn = attn.reshape(B_, H, N, N)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=dropout_det(train))(attn)
         # MXU accumulates fp32 internally; emit bf16 directly to halve
         # the PV-output HBM traffic
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = PackedQKV(C, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        out = nn.Dropout(self.proj_drop, deterministic=dropout_det(train))(out)
         return out
 
 
@@ -906,7 +944,7 @@ class WindowAttentionV2(nn.Module):
                 out = proj_mod(core(
                     x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
                     + qkv_bias.astype(self.dtype), bias, logit_scale))
-            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+            return nn.Dropout(self.proj_drop, deterministic=dropout_det(train))(out)
 
         qkv = (x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
                + qkv_bias.astype(self.dtype))
@@ -934,14 +972,14 @@ class WindowAttentionV2(nn.Module):
             attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(pet)
             attn = attn.reshape(B_, H, N, N)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=dropout_det(train))(attn)
         # MXU accumulates fp32 internally; emit bf16 directly to halve
         # the PV-output HBM traffic
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).astype(self.dtype)
 
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
         out = PackedQKV(C, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        out = nn.Dropout(self.proj_drop, deterministic=dropout_det(train))(out)
         return out
 
 
@@ -1034,14 +1072,19 @@ class SwinBlock(nn.Module):
         the residual add all run inside one mapped chunk body (one stream
         read + one stream write of HBM traffic; see chunked_attn_residual);
         otherwise identical math via the unfused sub-block pieces."""
-        from avmoe_tpu.ops.quant import QStream, dequantize
+        from avmoe_tpu.ops.quant import QStream, dequantize, quantize_stream
 
         fused = (not train and attn_res_in_chunk() and use_chunked_attention()
                  and qkv_in_chunk()
                  and (self.version == "v2" or chunk_v1()))
         if not fused:
             if isinstance(x, QStream):
-                x = dequantize(x, self.dtype)
+                # keep the stream int8 through the unfused path too, so an
+                # AVMOE_INT8_STREAM=1 run with a fused-gate toggle off does
+                # not silently revert later sub-blocks to a bf16 stream
+                # (would skew byte-accounting experiments)
+                xb = dequantize(x, self.dtype)
+                return quantize_stream(xb + self.attn_residual(xb, train=train))
             return x + self.attn_residual(x, train=train)
         H, W = self.input_resolution
         window, shift = self._geometry()

@@ -41,6 +41,15 @@ def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
+def dropout_det(train: bool) -> bool:
+    """Deterministic flag for every dropout site: eval is always
+    deterministic; TRAIN mode also goes deterministic under
+    AVMOE_DETERMINISTIC_TRAIN=1 (cross-framework training-curve parity tests
+    and bitwise-reproducibility debugging — dropout is the one train-time
+    stochastic op whose masks cannot be matched across frameworks)."""
+    return (not train) or os.environ.get("AVMOE_DETERMINISTIC_TRAIN", "0") == "1"
+
+
 def archive_sources(dst_dir: str, root: Optional[str] = None) -> int:
     """Snapshot the framework's .py sources next to an experiment's outputs
     (ref: avs_s4/train_v2.py:102-114 script self-archival). Returns file count."""
@@ -63,12 +72,14 @@ def archive_sources(dst_dir: str, root: Optional[str] = None) -> int:
 
 
 def pipelined(fn, iterable, depth: int = 2):
-    """Iterate ``(item, fn(item))`` pairs with `depth` dispatches in flight.
+    """Iterate ``(item, fn(item))`` pairs with up to depth+1 dispatches held.
 
     Through the TPU tunnel every host readback of a step's outputs costs a
     full dispatch round-trip (~45 ms measured), so an eval loop that syncs
     per batch serializes device work behind transport RTT. This generator
-    dispatches batch i+depth before yielding batch i, so the consumer's
+    dispatches batch i+depth before yielding batch i — the internal queue
+    drains only once it EXCEEDS `depth`, so depth+1 un-yielded dispatches
+    are held at steady state — and the consumer's
     ``float()`` / ``np.asarray()`` readback overlaps the device execution of
     the batches still in flight. `fn` must only dispatch (return jax arrays
     or pytrees without forcing a host sync).

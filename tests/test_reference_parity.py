@@ -302,23 +302,18 @@ def test_grounding_resnet18_matches_reference():
 
 # ------------------------------------------------- full lock-step orchestration
 
-def test_lockstep_encoder_matches_reference_mmil(monkeypatch):
-    """Runs the reference's OWN MMIL_Net.forward_swin (net_trans_v3.py:639-759)
-    - dual backbones + 4x8 MoE adapter sites at tiny dims - and compares the
-    pooled per-frame features against LockstepEncoder with weights converted
-    via convert_lockstep_encoder. timm is stubbed with tests/torch_swinv2.py
-    (same architecture timm builds); HTS-AT/adapters are the reference's own
-    classes."""
+def make_tiny_ref_mmil(monkeypatch, cfg, weight_seed: int = 11):
+    """Construct the reference's OWN MMIL_Net (net_trans_v3.py:489-637) at
+    tiny dims, randomized: esc_config monkeypatched to the tiny geometry, timm
+    stubbed with tests/torch_swinv2.py, head fc dims re-sized for the tiny
+    encoder. Shared by the activation-parity and training-curve-parity tests.
+    Returns the torch model (eval mode)."""
     import types as _types
 
     net = load_ref_module(f"{REF_ROOT}/AVE", "nets.net_trans_v3")
     esc = load_ref_module(f"{REF_ROOT}/AVE", "nets.esc_config")
     from torch_swinv2 import SwinTransformerV2
 
-    from avmoe_tpu.config import replace, tiny_ave_config
-
-    # reference heads hardcode d_model=256 (net_trans_v3.py:190,266)
-    cfg = replace(tiny_ave_config(), d_model=256)
     fe_cfg = cfg.htsat.frontend
 
     # tiny HTS-AT geometry on the esc_config module (read inside MMIL ctor);
@@ -386,7 +381,22 @@ def test_lockstep_encoder_matches_reference_mmil(monkeypatch):
     model.temporal_attn.a_fc = torch.nn.Linear(cfg.htsat.num_features, 128)
     model.temporal_attn.v_fc = torch.nn.Linear(cfg.swin.num_features, 512)
     model.eval()
-    _randomize_torch(model, 11)
+    _randomize_torch(model, weight_seed)
+    return model
+
+
+def test_lockstep_encoder_matches_reference_mmil(monkeypatch):
+    """Runs the reference's OWN MMIL_Net.forward_swin (net_trans_v3.py:639-759)
+    - dual backbones + 4x8 MoE adapter sites at tiny dims - and compares the
+    pooled per-frame features against LockstepEncoder with weights converted
+    via convert_lockstep_encoder. timm is stubbed with tests/torch_swinv2.py
+    (same architecture timm builds); HTS-AT/adapters are the reference's own
+    classes."""
+    from avmoe_tpu.config import replace, tiny_ave_config
+
+    # reference heads hardcode d_model=256 (net_trans_v3.py:190,266)
+    cfg = replace(tiny_ave_config(), d_model=256)
+    model = make_tiny_ref_mmil(monkeypatch, cfg)
 
     pooled = {}
     model.temporal_attn.register_forward_hook(

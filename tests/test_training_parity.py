@@ -1,0 +1,163 @@
+"""TRAINING-CURVE parity against the reference's own torch train loop.
+
+All other parity tests compare single forwards. This one upgrades the claim
+to training DYNAMICS: the reference's MMIL_Net is trained for several steps
+with its own recipe — name-scan freeze policy, Adam param groups, StepLR,
+BCE + 2xCE loss (ref: AVMOE/AVE/main_trans_v3.py:82-146 train(), :268-323
+optimizer/freeze setup) — and the avmoe_tpu train machinery (freeze
+partition, optax adam + step-decay schedule, make_train_step) runs the SAME
+converted init on the SAME batch sequence. Loss curves must match.
+
+Train-time stochasticity (dropout masks, SpecAugment stripes) cannot be
+matched across frameworks, so both sides run deterministically: torch
+dropout/droppath probabilities are zeroed module-by-module, and the flax side
+sets AVMOE_DETERMINISTIC_TRAIN=1 (utils.runtime.dropout_det). Mixup is off on
+both sides (the reference only mixes up for backbone_type=audioset training
+data; our loss closure takes mixup_alpha=0).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from test_reference_parity import make_tiny_ref_mmil  # noqa: E402
+
+B, T = 2, 10  # forward_swin hardcodes 10 segments (net_trans_v3.py:738)
+N_EPOCHS, STEPS_PER_EPOCH = 2, 2
+LR, LR_MLP, DECAY, DECAY_EPOCH = 5e-4, 5e-6, 0.35, 1  # decay INSIDE the run
+
+
+def _zero_torch_stochastic(model: nn.Module) -> None:
+    """Zero every train-time stochastic op in the reference model."""
+    for m in model.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, nn.MultiheadAttention):
+            m.dropout = 0.0
+        if isinstance(m, (nn.LSTM, nn.GRU)):
+            m.dropout = 0.0
+        if hasattr(m, "drop_prob"):  # timm-stub DropPath
+            m.drop_prob = 0.0
+        if type(m).__name__ == "SpecAugmentation":
+            m.forward = lambda x: x
+
+
+def _torch_curve(model, batches):
+    """The reference train loop verbatim (main_trans_v3.py:268-323 setup,
+    :82-146 inner loop, accum_itr=1, scheduler.step() per epoch)."""
+    _zero_torch_stochastic(model)
+    param_group = []
+    for name, param in model.named_parameters():
+        param.requires_grad = False
+        if "ViT" in name or "swin" in name:
+            param.requires_grad = False  # is_vit_ln=0 (train.sh:35)
+        elif "htsat" in name:
+            param.requires_grad = False
+        elif ("adapter_blocks" in name or "CMBS" in name
+              or "mlp_class" in name or "temporal_attn" in name):
+            param.requires_grad = True
+        if "mlp_class" in name:
+            param_group.append({"params": param, "lr": LR_MLP})
+        else:
+            param_group.append({"params": param, "lr": LR})
+    optimizer = torch.optim.Adam(param_group)
+    scheduler = torch.optim.lr_scheduler.StepLR(
+        optimizer, step_size=DECAY_EPOCH, gamma=DECAY)
+    criterion = nn.BCEWithLogitsLoss()
+    criterion_event = nn.CrossEntropyLoss()
+
+    model.train()
+    losses = []
+    it = iter(batches)
+    for _epoch in range(N_EPOCHS):
+        for _step in range(STEPS_PER_EPOCH):
+            wave, image, gt = next(it)
+            wave = torch.from_numpy(wave)
+            image = torch.from_numpy(image.transpose(0, 1, 4, 2, 3).copy())
+            labels = torch.from_numpy(gt)
+            is_event_scores, event_scores, av_score, _ = model(
+                [wave], image, rand_train_idx=11, stage="train")
+            is_event_scores = is_event_scores.transpose(1, 0).squeeze(-1).contiguous()
+            labels_foreground = labels[:, :, :-1]
+            labels_BCE, labels_evn = labels_foreground.max(-1)
+            labels_event, _ = labels_evn.max(-1)
+            loss = (criterion(is_event_scores, labels_BCE)
+                    + criterion_event(event_scores, labels_event)
+                    + criterion_event(av_score, labels_event))
+            loss.backward()
+            optimizer.step()
+            optimizer.zero_grad()
+            losses.append(float(loss.item()))
+        scheduler.step()
+    return losses
+
+
+def _jax_curve(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.ave import AVEModel, make_ave_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=B, accum_steps=1, lr=LR, lr_mlp=LR_MLP,
+                       decay=DECAY, decay_epoch=DECAY_EPOCH)
+    model = AVEModel(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=STEPS_PER_EPOCH)
+    train_step = make_train_step(make_ave_loss_fn(model, mixup_alpha=0.0),
+                                 donate=False)
+    losses = []
+    it = iter(batches)
+    for i in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave, image, gt = next(it)
+        batch = {"wave": jnp.asarray(wave), "images": jnp.asarray(image),
+                 "labels": jnp.asarray(gt)}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_ave_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    from avmoe_tpu.checkpoint.convert import (
+        convert_mmil_net, torch_state_dict_to_numpy)
+    from avmoe_tpu.config import replace, tiny_ave_config
+
+    cfg = replace(tiny_ave_config(), d_model=256)
+    model_t = make_tiny_ref_mmil(monkeypatch, cfg)
+
+    rng = np.random.RandomState(7)
+    n = N_EPOCHS * STEPS_PER_EPOCH
+    batches = []
+    for i in range(n):
+        wave = (rng.randn(B, T, cfg.audio_len) * 0.1).astype(np.float32)
+        imgs = rng.rand(B, T, cfg.swin.img_size, cfg.swin.img_size, 3
+                        ).astype(np.float32)
+        gt = np.eye(cfg.num_classes + 1, dtype=np.float32)[
+            rng.randint(0, cfg.num_classes + 1, (B, T))]
+        batches.append((wave, imgs, gt))
+
+    params, batch_stats = convert_mmil_net(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        n_sites=8, swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths)
+
+    ref_losses = _torch_curve(model_t, batches)
+    got_losses = _jax_curve(cfg, params, batch_stats, batches)
+
+    # Same init, same batches, same optimizer recipe: the first loss is a
+    # forward-parity check, the rest certify the GRADIENT/OPTIMIZER path
+    # (freeze partition, Adam moments, StepLR boundary after epoch 1).
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
