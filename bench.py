@@ -72,10 +72,11 @@ TRAIN_ITERS = 10
 SKIP_TRAIN = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
 
 
-def _sync(*outs) -> float:
+def _sync(outs) -> float:
     # force host readback: on the experimental tunnel transport,
-    # block_until_ready can return before execution finishes
-    return sum(float(np.asarray(o).sum()) for o in outs)
+    # block_until_ready can return before execution finishes. ONE readback:
+    # every fresh-result read costs a fixed ~28 ms RTT (probe_transport.py).
+    return float(np.asarray(outs).sum())
 
 
 def bench_eval(model, cfg):
@@ -89,17 +90,24 @@ def bench_eval(model, cfg):
     @_jit
     def fwd(variables, wave, imgs):
         out = model.apply(variables, wave, imgs, train=False)
-        return out["is_event_logits"], out["event_logits"]
+        # ONE packed output: each fresh-result readback through the tunnel
+        # costs a fixed ~28 ms RTT regardless of payload (tools/
+        # probe_transport.py: 2 sequential readbacks 54.0 ms, packed 27.4),
+        # so the serving path returns a single (B, T+C) array the consumer
+        # splits host-side.
+        return jnp.concatenate(
+            [out["is_event_logits"].astype(jnp.float32),
+             out["event_logits"].astype(jnp.float32)], axis=-1)
 
     for _ in range(WARMUP):
-        _sync(*fwd(variables, wave, imgs))
+        _sync(fwd(variables, wave, imgs))
 
     # throughput: dispatch all iterations, sync once (pipelined)
     t0 = time.perf_counter()
     outs = None
     for _ in range(ITERS):
         outs = fwd(variables, wave, imgs)
-    _sync(*outs)
+    _sync(outs)
     total = time.perf_counter() - t0
     clips_per_sec = BATCH_CLIPS * ITERS / total
 
@@ -107,7 +115,7 @@ def bench_eval(model, cfg):
     times = []
     for _ in range(ITERS):
         t1 = time.perf_counter()
-        _sync(*fwd(variables, wave, imgs))
+        _sync(fwd(variables, wave, imgs))
         times.append(time.perf_counter() - t1)
     p50_amortized_ms = float(np.percentile(times, 50)) / BATCH_CLIPS * 1e3
 
@@ -115,11 +123,11 @@ def bench_eval(model, cfg):
     # tunnel round-trip - the serving-shaped number on THIS transport)
     w1, i1 = wave[:1], imgs[:1]
     for _ in range(WARMUP):
-        _sync(*fwd(variables, w1, i1))
+        _sync(fwd(variables, w1, i1))
     times = []
     for _ in range(ITERS):
         t1 = time.perf_counter()
-        _sync(*fwd(variables, w1, i1))
+        _sync(fwd(variables, w1, i1))
         times.append(time.perf_counter() - t1)
     p50_batch1_ms = float(np.percentile(times, 50)) * 1e3
 
@@ -131,7 +139,7 @@ def bench_eval(model, cfg):
     outs = None
     for _ in range(ITERS):
         outs = fwd(variables, w1, i1)
-    _sync(*outs)
+    _sync(outs)
     p50_batch1_device_ms = (time.perf_counter() - t1) / ITERS * 1e3
 
     # bytes/clip from XLA's cost analysis of the SAME compiled program, so

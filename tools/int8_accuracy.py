@@ -50,11 +50,17 @@ def activation_error(tiny: bool) -> dict:
             variables, wave, imgs)
         return np.asarray(out["event_logits"], np.float32)
 
-    assert os.environ.get("AVMOE_INT8_STREAM", "0") != "1"
-    ref = run()
-    os.environ["AVMOE_INT8_STREAM"] = "1"
-    got = run()
-    os.environ["AVMOE_INT8_STREAM"] = "0"
+    prior = os.environ.get("AVMOE_INT8_STREAM")
+    try:
+        os.environ["AVMOE_INT8_STREAM"] = "0"
+        ref = run()
+        os.environ["AVMOE_INT8_STREAM"] = "1"
+        got = run()
+    finally:
+        if prior is None:
+            os.environ.pop("AVMOE_INT8_STREAM", None)
+        else:
+            os.environ["AVMOE_INT8_STREAM"] = prior
 
     scale = np.abs(ref).max()
     rel = np.abs(got - ref) / max(scale, 1e-9)
@@ -118,11 +124,17 @@ def task_metric_delta(epochs: int) -> dict:
             weights.append(len(batch["labels"]))
         return float(np.average(accs, weights=weights))
 
-    assert os.environ.get("AVMOE_INT8_STREAM", "0") != "1"
-    acc_bf16 = eval_acc()
-    os.environ["AVMOE_INT8_STREAM"] = "1"
-    acc_int8 = eval_acc()
-    os.environ["AVMOE_INT8_STREAM"] = "0"
+    prior = os.environ.get("AVMOE_INT8_STREAM")
+    try:
+        os.environ["AVMOE_INT8_STREAM"] = "0"
+        acc_bf16 = eval_acc()
+        os.environ["AVMOE_INT8_STREAM"] = "1"
+        acc_int8 = eval_acc()
+    finally:
+        if prior is None:
+            os.environ.pop("AVMOE_INT8_STREAM", None)
+        else:
+            os.environ["AVMOE_INT8_STREAM"] = prior
     print(f"[task] trained synthetic AVE acc: bf16 {acc_bf16:.1f}% "
           f"int8-stream {acc_int8:.1f}% (delta {acc_int8 - acc_bf16:+.1f})",
           flush=True)
