@@ -402,6 +402,58 @@ def ave_train_preset() -> Tuple[AVEConfig, TrainConfig]:
     return AVEConfig(), TrainConfig()
 
 
+# HTS-AT pretrained-checkpoint flavors, mirroring the reference's
+# `--backbone_type` knob which mutates the module-global esc_config and picks
+# a checkpoint file (ref: net_trans_v3.py:516-545, esc_config.py:48-69).
+# Values: (sample_rate, hop_length, num_classes, expected ckpt filename for
+# checkpoint.convert.convert_htsat).
+HTSAT_BACKBONE_FLAVORS = {
+    "esc-50": (32_000, 320, 50, "HTSAT_ESC_exp=1_fold=1_acc=0.985.ckpt"),
+    "audioset": (32_000, 320, 527, "HTSAT_AudioSet_Saved_1.ckpt"),
+    "scv2": (16_000, 160, 35, "HTSAT_SCV2_Saved_3.ckpt"),
+}
+
+
+def htsat_backbone_preset(backbone_type: str = "audioset") -> Tuple[HTSATConfig, str]:
+    """(HTSATConfig, checkpoint filename) for a named `backbone_type` flavor.
+
+    The reference reaches its flavors by mutating esc_config in the model
+    ctor; here each flavor is a frozen config + the torch checkpoint name the
+    converter expects. Geometry (spec 256 / patch 4 / depths 2262 / dim 96)
+    is shared by all three flavors (esc_config.py:62-69)."""
+    try:
+        sr, hop, classes, ckpt = HTSAT_BACKBONE_FLAVORS[backbone_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"backbone_type {backbone_type!r}: expected one of "
+            f"{sorted(HTSAT_BACKBONE_FLAVORS)}") from None
+    cfg = HTSATConfig(
+        num_classes=classes,
+        frontend=AudioFrontendConfig(sample_rate=sr, hop_length=hop),
+    )
+    return cfg, ckpt
+
+
+def swin_model_preset(model_size: str = "large") -> SwinV2Config:
+    """Swin-V2 flavor for the reference's `--model_size` knob
+    (ref: net_trans_v3.py:493-498 -> timm swinv2_{large,base}_window12_192_22k)."""
+    if model_size == "large":
+        return SwinV2Config.large()
+    if model_size in ("base", "small"):  # ref calls the base flavor "small"
+        return SwinV2Config.base()
+    raise NotImplementedError(
+        f"model_size {model_size!r}: expected 'large' or 'base'/'small'")
+
+
+def ave_flavor_config(backbone_type: str = "audioset",
+                      model_size: str = "large") -> Tuple[AVEConfig, str]:
+    """AVEConfig with named backbone flavors + the HTS-AT ckpt filename
+    (one-call equivalent of the reference's --backbone_type/--model_size)."""
+    htsat, ckpt = htsat_backbone_preset(backbone_type)
+    return dataclasses.replace(
+        AVEConfig(), htsat=htsat, swin=swin_model_preset(model_size)), ckpt
+
+
 def _tiny_frontend() -> AudioFrontendConfig:
     return AudioFrontendConfig(
         sample_rate=4000, n_fft=256, hop_length=125, win_length=256,
