@@ -46,6 +46,15 @@ CONFIGS = [
      {"AVMOE_CHUNK_MB": "16", "AVMOE_CHUNK_UNROLL": "2"}),
     ("CHUNK_MB=32", {"AVMOE_CHUNK_MB": "32"}),
     ("SCOPED_VMEM=65536", {"AVMOE_SCOPED_VMEM_KIB": "65536"}),
+    # round 5: bound the win of window-layout-resident streams (VERDICT r4
+    # weak #3). Mode 1 = drop both in-body relayouts (pure-reshape entry/
+    # exit: the perf UPPER BOUND of window residency); mode 2 = one composed
+    # static gather per block exit (the steady-state cost model). Both are
+    # numerics-WRONG perf probes (see ops.swin.relayout_probe_mode).
+    ("PROBE_RELAYOUT=1 (no relayout: upper bound)",
+     {"AVMOE_PROBE_RELAYOUT": "1"}),
+    ("PROBE_RELAYOUT=2 (one composed gather/block)",
+     {"AVMOE_PROBE_RELAYOUT": "2"}),
 ]
 
 B, WARMUP, ITERS = 4, 3, 20
