@@ -27,6 +27,7 @@ from avmoe_tpu.train.steps import make_eval_step, make_train_step
 from avmoe_tpu.checkpoint.manager import CheckpointManager
 from avmoe_tpu.telemetry.experts import ExpertUsageTracker
 from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache, pipelined
+from avmoe_tpu.utils.runtime import apply_perf_defaults, apply_precise_mode
 
 
 def parse_args():
@@ -56,6 +57,10 @@ def parse_args():
                         "optimizer and step) before training")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--precise", action="store_true",
+                   help="exact numerics: fp32 attention logits + erf GELU"
+                        " (default: measured-best perf toggles, see"
+                        " utils.runtime.PERF_DEFAULTS)")
     return p.parse_args()
 
 
@@ -64,6 +69,11 @@ def main():
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
     args = parse_args()
+    # measured-best perf toggles (setdefault: exported env wins); must
+    # run before the first model trace
+    apply_perf_defaults()
+    if args.precise:
+        apply_precise_mode()
     cfg = mini_ave_config() if args.mini else tiny_ave_config() if args.tiny else AVEConfig()
     tcfg = TrainConfig(
         batch_size=args.batch_size, accum_steps=args.accum_itr, epochs=args.epochs,

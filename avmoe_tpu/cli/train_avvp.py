@@ -27,6 +27,7 @@ from avmoe_tpu.train.freeze import merge_params, param_report
 from avmoe_tpu.train.state import create_train_state
 from avmoe_tpu.train.steps import make_train_step
 from avmoe_tpu.utils import apply_platform_override, enable_compilation_cache, pipelined
+from avmoe_tpu.utils.runtime import apply_perf_defaults, apply_precise_mode
 
 log = logging.getLogger("avmoe_tpu.avvp")
 
@@ -50,6 +51,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--model_save_dir", type=str, default="checkpoints/avvp")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--precise", action="store_true",
+                   help="exact numerics: fp32 attention logits + erf GELU"
+                        " (default: measured-best perf toggles, see"
+                        " utils.runtime.PERF_DEFAULTS)")
     return p.parse_args()
 
 
@@ -86,6 +91,11 @@ def main():
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
     args = parse_args()
+    # measured-best perf toggles (setdefault: exported env wins); must
+    # run before the first model trace
+    apply_perf_defaults()
+    if args.precise:
+        apply_precise_mode()
     cfg = mini_avvp_config() if args.mini else tiny_avvp_config() if args.tiny else AVVPConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum_itr,
                        epochs=args.epochs, lr=args.lr, seed=args.seed)

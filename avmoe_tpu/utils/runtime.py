@@ -37,6 +37,45 @@ def enable_compilation_cache(directory: Optional[str] = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+#: The measured-best perf toggles (round 3-5 sweeps: tools/sweep_eval_knobs,
+#: tools/sweep_train_knobs; measurements in BASELINE.md + docs/ROADMAP.md).
+#: bench.py sets the same values, so CLI throughput matches the benchmark.
+PERF_DEFAULTS = {
+    # bf16 attention logits: max-subtracted softmax keeps bf16 range safe;
+    # halves logit HBM traffic (+29% eval)
+    "AVMOE_BF16_LOGITS": "1",
+    # fused bottleneck-rank MoE combine (exact algebra, parity/grad-parity
+    # tested in tests/test_fused_moe.py), eval AND train variants
+    "AVMOE_FUSED_MOE": "1",
+    "AVMOE_FUSED_MOE_TRAIN": "1",
+    # tanh-approx GELU: max rel err ~3e-3, below bf16 stream noise; the erf
+    # lowering costs ~10 ms/forward on the VPU
+    "AVMOE_FAST_GELU": "1",
+    # unroll 4 chunk bodies per loop iteration (identical math)
+    "AVMOE_CHUNK_UNROLL": "4",
+    # monolithic train attention wins at batch 4 (22.1 vs 19.5 clips/s)
+    "AVMOE_CHUNK_ATTN_TRAIN": "0",
+}
+
+
+def apply_perf_defaults() -> None:
+    """Default the CLI user surface to the measured-best perf configuration
+    (PERF_DEFAULTS). setdefault only — any explicitly exported AVMOE_* env
+    var wins, and `--precise` (which calls clear_perf_defaults-style exact
+    settings) turns the numerics-adjacent toggles off. Must run before the
+    first model trace (the toggles are read at trace time)."""
+    for k, v in PERF_DEFAULTS.items():
+        os.environ.setdefault(k, v)
+
+
+def apply_precise_mode() -> None:
+    """Exact-numerics mode for the CLIs (--precise): fp32 attention logits,
+    erf GELU. The fused-MoE combine and chunk unrolling stay on — they are
+    bit-exact algebra/scheduling changes, not approximations."""
+    os.environ["AVMOE_BF16_LOGITS"] = "0"
+    os.environ["AVMOE_FAST_GELU"] = "0"
+
+
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
