@@ -47,6 +47,8 @@ def parse_args():
     p.add_argument("--accum_itr", type=int, default=8)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr_mlp", type=float, default=5e-6,
+                   help="classifier-head LR (ref train.sh --lr_mlp)")
     p.add_argument("--decay", type=float, default=0.35)
     p.add_argument("--decay_epoch", type=int, default=3)
     p.add_argument("--early_stop", type=int, default=20)
@@ -77,7 +79,7 @@ def main():
     cfg = mini_ave_config() if args.mini else tiny_ave_config() if args.tiny else AVEConfig()
     tcfg = TrainConfig(
         batch_size=args.batch_size, accum_steps=args.accum_itr, epochs=args.epochs,
-        lr=args.lr, decay=args.decay, decay_epoch=args.decay_epoch,
+        lr=args.lr, lr_mlp=args.lr_mlp, decay=args.decay, decay_epoch=args.decay_epoch,
         early_stop=args.early_stop, seed=args.seed,
     )
 

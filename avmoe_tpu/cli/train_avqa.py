@@ -104,7 +104,8 @@ def main():
         apply_precise_mode()
     cfg = mini_avqa_config() if args.mini else tiny_avqa_config() if args.tiny else AVQAConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum_itr,
-                       epochs=args.epochs, lr=args.lr, seed=args.seed)
+                       epochs=args.epochs, lr=args.lr, lr_mlp=args.lr,
+                       seed=args.seed)
     train_ds, val_ds = build_datasets(args, cfg)
 
     mesh = make_mesh()

@@ -90,7 +90,8 @@ def main():
             moe=_dc.replace(cfg.moe, adapter=_dc.replace(
                 cfg.moe.adapter, self_attention="token")))
     tcfg = TrainConfig(batch_size=args.train_batch_size, accum_steps=args.accum_itr,
-                       epochs=args.max_epoches, lr=args.lr, seed=args.seed)
+                       epochs=args.max_epoches, lr=args.lr, lr_mlp=args.lr,
+                       seed=args.seed)
 
     if args.synthetic or args.data_root is None:
         mk = lambda split, n, s: SyntheticAVSDataset(

@@ -98,7 +98,8 @@ def main():
         apply_precise_mode()
     cfg = mini_avvp_config() if args.mini else tiny_avvp_config() if args.tiny else AVVPConfig()
     tcfg = TrainConfig(batch_size=args.batch_size, accum_steps=args.accum_itr,
-                       epochs=args.epochs, lr=args.lr, seed=args.seed)
+                       epochs=args.epochs, lr=args.lr, lr_mlp=args.lr,
+                       seed=args.seed)
 
     if args.synthetic or args.data_root is None:
         train_ds = SyntheticAVVPDataset(

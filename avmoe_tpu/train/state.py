@@ -14,7 +14,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
+from flax import struct, traverse_util
 from flax.core import FrozenDict
 
 from avmoe_tpu.config import TrainConfig
@@ -58,8 +58,28 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.Gradient
     # update (every accum_steps micro-steps), so the schedule must be phrased
     # in updates/epoch, not micro-steps/epoch.
     updates_per_epoch = max(steps_per_epoch // max(cfg.accum_steps, 1), 1)
-    sched = step_decay_schedule(cfg.lr, cfg.decay, cfg.decay_epoch, updates_per_epoch)
-    tx = optax.adam(learning_rate=sched)
+
+    def _adam(base_lr: float) -> optax.GradientTransformation:
+        return optax.adam(learning_rate=step_decay_schedule(
+            base_lr, cfg.decay, cfg.decay_epoch, updates_per_epoch))
+
+    if cfg.lr_mlp != cfg.lr:
+        # Per-group LR: the reference AVE driver builds Adam(param_group)
+        # with lr_mlp on every param whose name contains 'mlp_class'
+        # (ref: AVMOE/AVE/main_trans_v3.py:307-321). Only AVE actually uses
+        # the groups — AVVP/AVQA build the list but optimize
+        # model.parameters() at a single lr (AVVP/main.py:487,
+        # AVQA/net_grd_avst/main_avst_v2.py:410); their CLIs pass lr_mlp=lr.
+        def _labels(params):
+            flat = traverse_util.flatten_dict(params)
+            lab = {k: ("mlp_class" if any("mlp_class" in part for part in k)
+                       else "base") for k in flat}
+            return traverse_util.unflatten_dict(lab)
+
+        tx = optax.multi_transform(
+            {"base": _adam(cfg.lr), "mlp_class": _adam(cfg.lr_mlp)}, _labels)
+    else:
+        tx = _adam(cfg.lr)
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx

@@ -81,13 +81,10 @@ def _patch_backbones(monkeypatch, net, esc, cfg):
 # ---------------------------------------------------------------- AVVP (MGN)
 
 
-def test_mgn_net_matches_reference(monkeypatch):
-    """Runs the reference's OWN MGN_Net forward (mgn.py:478-559) - lockstep
-    backbones + per-block MoE adapters + the three grouping stacks (audio CUG
-    with the HAN cross-modal encoder, visual CUG, AV MCG) - at tiny dims and
-    compares every output head against MGNModel with weights converted via
-    convert_mgn_net. B=1 because the reference's token-mean/permute treats
-    batch*segments as one sequence (mgn.py:517-519 is only [B,10,C] for B=1)."""
+def make_tiny_ref_mgn(monkeypatch):
+    """Builds the reference's OWN MGN_Net at tiny dims with random weights,
+    plus the matching tiny AVVP config (shared by the activation-parity test
+    below and the AVVP training-curve test)."""
     import dataclasses
     import types as _types
 
@@ -128,6 +125,17 @@ def test_mgn_net_matches_reference(monkeypatch):
     model.fc_st = torch.nn.Linear(cfg.st_dim, cfg.dim)
     model.eval()
     _randomize_torch(model, 13)
+    return model, cfg
+
+
+def test_mgn_net_matches_reference(monkeypatch):
+    """Runs the reference's OWN MGN_Net forward (mgn.py:478-559) - lockstep
+    backbones + per-block MoE adapters + the three grouping stacks (audio CUG
+    with the HAN cross-modal encoder, visual CUG, AV MCG) - at tiny dims and
+    compares every output head against MGNModel with weights converted via
+    convert_mgn_net. B=1 because the reference's token-mean/permute treats
+    batch*segments as one sequence (mgn.py:517-519 is only [B,10,C] for B=1)."""
+    model, cfg = make_tiny_ref_mgn(monkeypatch)
 
     B, T = 1, cfg.num_segments
     rng = np.random.RandomState(4)

@@ -161,3 +161,134 @@ def test_ave_training_curve_matches_reference(monkeypatch):
     # (freeze partition, Adam moments, StepLR boundary after epoch 1).
     np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
     assert all(np.isfinite(ref_losses))
+
+
+# -------------------------------------------------------------- AVVP (MGN)
+#
+# Second task family (the AVE test above covers the per-group-LR Adam recipe;
+# this one covers the AVVP recipe: single-LR Adam over ALL params with the
+# swin/htsat freeze scan, BCELoss on clamped probs with a=1.0/v=0.9 label
+# smoothing, class-aware CE against arange targets, and the router
+# load-balance total in the loss. Ref: AVMOE/AVVP/main.py:427-465 freeze,
+# :487-488 Adam+StepLR, :32-90 train loop).
+
+LR_AVVP, DECAY_AVVP = 3e-4, 0.1  # main.py:278 default lr; StepLR gamma=0.1
+
+
+def _torch_curve_mgn(model, batches):
+    """The reference AVVP train loop (main.py:32-90) with its freeze scan
+    (main.py:427-465, is_vit_ln=0 so swin norms freeze too) and
+    Adam(model.parameters(), lr) + StepLR (main.py:487-488). The reference's
+    multi-GPU `for lb_loss in load_balancing_loss` iterates DataParallel's
+    per-GPU gather; single-process that is the scalar total added once."""
+    _zero_torch_stochastic(model)
+    for name, param in model.named_parameters():
+        if "ViT" in name or "swin" in name:
+            param.requires_grad = False  # is_vit_ln=0 (train.sh)
+        elif "htsat" in name:
+            param.requires_grad = False
+        else:
+            param.requires_grad = True
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR_AVVP,
+                                 weight_decay=0)
+    scheduler = torch.optim.lr_scheduler.StepLR(
+        optimizer, step_size=DECAY_EPOCH, gamma=DECAY_AVVP)
+    criterion = nn.BCELoss()
+    criterion_ce = nn.CrossEntropyLoss()
+
+    model.train()
+    losses = []
+    it = iter(batches)
+    for _epoch in range(N_EPOCHS):
+        for _step in range(STEPS_PER_EPOCH):
+            wave, imgs, st, target = next(it)
+            aud_cls, vis_cls, output, a_prob, v_prob, _, _, lb = model(
+                torch.from_numpy(wave), torch.from_numpy(imgs),
+                torch.from_numpy(st), mixup_lambda=None)
+            output = output.clamp(min=1e-7, max=1 - 1e-7)
+            a_prob = a_prob.clamp(min=1e-7, max=1 - 1e-7)
+            v_prob = v_prob.clamp(min=1e-7, max=1 - 1e-7)
+            target_t = torch.from_numpy(target)
+            pa = 1.0 * target_t            # a=1.0: no smoothing
+            pv = 0.9 * target_t + 0.05     # v=0.9
+            cls_target = torch.arange(aud_cls.shape[0]).long()
+            loss = (criterion_ce(aud_cls, cls_target)
+                    + criterion_ce(vis_cls, cls_target)
+                    + criterion(output, target_t)
+                    + criterion(a_prob, pa) + criterion(v_prob, pv)
+                    + lb)
+            loss.backward()
+            optimizer.step()
+            optimizer.zero_grad()
+            losses.append(float(loss.item()))
+        scheduler.step()
+    return losses
+
+
+def _jax_curve_mgn(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.avvp import MGNModel, make_avvp_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=1, accum_steps=1, lr=LR_AVVP,
+                       lr_mlp=LR_AVVP, decay=DECAY_AVVP,
+                       decay_epoch=DECAY_EPOCH)
+    model = MGNModel(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=STEPS_PER_EPOCH)
+    # no "mixup" stream: the reference only mixes up audioset-backbone
+    # training data (main.py:40-44); both curves run unmixed
+    train_step = make_train_step(
+        make_avvp_loss_fn(model),
+        rng_streams=("dropout", "specaug", "gumbel"), donate=False)
+    losses = []
+    it = iter(batches)
+    for i in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave, imgs, st, target = next(it)
+        batch = {"wave": jnp.asarray(wave),
+                 "images": jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+                 "video_st": jnp.asarray(st),
+                 "labels": jnp.asarray(target)}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_avvp_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    from test_reference_parity_models import make_tiny_ref_mgn
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_mgn_net, torch_state_dict_to_numpy)
+
+    model_t, cfg = make_tiny_ref_mgn(monkeypatch)
+
+    # B=1: the reference MGN flattens batch*segments into one sequence
+    # (see test_mgn_net_matches_reference)
+    B_, T_ = 1, cfg.num_segments
+    rng = np.random.RandomState(11)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave = (rng.randn(B_, T_, cfg.audio_len) * 0.1).astype(np.float32)
+        imgs = rng.rand(B_, T_, 3, cfg.swin.img_size, cfg.swin.img_size
+                        ).astype(np.float32)
+        st = rng.randn(B_, T_, cfg.st_dim).astype(np.float32)
+        target = (rng.rand(B_, cfg.num_classes) < 0.2).astype(np.float32)
+        batches.append((wave, imgs, st, target))
+
+    params, batch_stats = convert_mgn_net(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        grouping_depths=(cfg.depth_aud, cfg.depth_vis, cfg.depth_av))
+
+    ref_losses = _torch_curve_mgn(model_t, batches)
+    got_losses = _jax_curve_mgn(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
