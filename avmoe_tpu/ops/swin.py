@@ -1084,8 +1084,11 @@ class SwinBlock(nn.Module):
                 # not silently revert later sub-blocks to a bf16 stream
                 # (would skew byte-accounting experiments)
                 xb = dequantize(x, self.dtype)
-                return quantize_stream(xb + self.attn_residual(xb, train=train))
-            return x + self.attn_residual(x, train=train)
+                # train passed positionally: under cfg.remat the sub-block
+                # methods are nn.remat-wrapped with static_argnums, which
+                # only sees positional args (a train= keyword raises).
+                return quantize_stream(xb + self.attn_residual(xb, train))
+            return x + self.attn_residual(x, train)
         H, W = self.input_resolution
         window, shift = self._geometry()
         mask_np = shifted_window_mask(H, W, window, shift)
@@ -1114,8 +1117,9 @@ class SwinBlock(nn.Module):
         if f is None:
             if is_q:
                 xb = dequantize(x, self.dtype)
-                return quantize_stream(xb + self.mlp_residual(xb, train=train))
-            return x + self.mlp_residual(x, train=train)
+                # positional train: see attn_state (remat static_argnums)
+                return quantize_stream(xb + self.mlp_residual(xb, train))
+            return x + self.mlp_residual(x, train)
         k1, b1, k2, b2 = self.mlp(x, kernels_only=True)
         scale, bias = self.norm2(x, params_only=True)
         return chunked_mlp_state(
