@@ -175,12 +175,10 @@ def test_mgn_net_matches_reference(monkeypatch):
 # --------------------------------------------------------------------- AVQA
 
 
-def test_avqa_fusion_net_matches_reference(monkeypatch):
-    """Runs the reference's OWN AVQA_Fusion_Net forward (net_avst_v2.py:
-    609-833) - lockstep encoder + frozen-negative path + LSTM question
-    encoder + grounding/match heads + question-as-query fusion - at tiny dims
-    and compares every output against AVQAFusionModel with weights converted
-    via convert_avqa_fusion_net."""
+def make_tiny_ref_avqa(monkeypatch):
+    """Builds the reference's OWN AVQA_Fusion_Net at tiny dims with random
+    weights, plus the matching tiny AVQA config (shared by the
+    activation-parity test below and the AVQA training-curve test)."""
     import types as _types
 
     net = load_ref_tree(
@@ -256,6 +254,16 @@ def test_avqa_fusion_net_matches_reference(monkeypatch):
     model.fc1 = L(2 * d, 512)
     model.eval()
     _randomize_torch(model, 17)
+    return model, cfg
+
+
+def test_avqa_fusion_net_matches_reference(monkeypatch):
+    """Runs the reference's OWN AVQA_Fusion_Net forward (net_avst_v2.py:
+    609-833) - lockstep encoder + frozen-negative path + LSTM question
+    encoder + grounding/match heads + question-as-query fusion - at tiny dims
+    and compares every output against AVQAFusionModel with weights converted
+    via convert_avqa_fusion_net."""
+    model, cfg = make_tiny_ref_avqa(monkeypatch)
 
     B, T = 1, cfg.num_segments
     rng = np.random.RandomState(5)

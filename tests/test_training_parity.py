@@ -163,6 +163,135 @@ def test_ave_training_curve_matches_reference(monkeypatch):
     assert all(np.isfinite(ref_losses))
 
 
+# --------------------------------------------------------------------- AVQA
+#
+# Third task family: the AVQA recipe — freeze scan with is_vit_ln=0
+# (swin/htsat frozen incl. norms), single-LR Adam over model.parameters()
+# (the lr_block param_group is built then UNUSED, main_avst_v2.py:400-410),
+# StepLR stepped per epoch with the deprecated epoch arg (:416-417), and
+# CE(answer) + 0.5*CE(interleaved posi/nega match) (:101-107).
+
+LR_AVQA, DECAY_AVQA = 1e-4, 0.1  # base_options.py:39 default; StepLR gamma
+
+
+def _torch_curve_avqa(model, batches):
+    """The reference AVQA train loop (main_avst_v2.py:90-120 train(),
+    :364-417 freeze/optimizer; batch_organize at :72-87 interleaves
+    posi/nega rows — CE over the row mean is permutation-invariant, so the
+    concat order difference vs our loss is a no-op)."""
+    _zero_torch_stochastic(model)
+    for name, param in model.named_parameters():
+        if "ViT" in name or "swin" in name or "Resnet" in name:
+            # is_vit_ln=0 (base_options.py:84 default): norms freeze too
+            param.requires_grad = False
+        elif "htsat" in name:
+            param.requires_grad = False
+        else:
+            param.requires_grad = True
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR_AVQA)
+    scheduler = torch.optim.lr_scheduler.StepLR(
+        optimizer, step_size=DECAY_EPOCH, gamma=DECAY_AVQA)
+    criterion = nn.CrossEntropyLoss()
+
+    model.train()
+    losses = []
+    it = iter(batches)
+    for epoch in range(1, N_EPOCHS + 1):
+        for _step in range(STEPS_PER_EPOCH):
+            wave, posi, nega, question, answer = next(it)
+            out_qa, match_posi, match_nega, _ = model(
+                torch.from_numpy(wave), torch.from_numpy(posi),
+                torch.from_numpy(nega), torch.from_numpy(question).long(),
+                None, stage="train")
+            out_match = torch.zeros(match_posi.shape[0] * 2,
+                                    match_posi.shape[1])
+            match_label = torch.zeros(match_posi.shape[0] * 2)
+            for i in range(match_posi.shape[0]):
+                out_match[i * 2] = match_posi[i]
+                out_match[i * 2 + 1] = match_nega[i]
+                match_label[i * 2] = 1
+            loss = (criterion(out_qa, torch.from_numpy(answer).long())
+                    + 0.5 * criterion(out_match, match_label.long()))
+            loss.backward()
+            optimizer.step()
+            optimizer.zero_grad()
+            losses.append(float(loss.item()))
+        scheduler.step(epoch)
+    return losses
+
+
+def _jax_curve_avqa(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.avqa import AVQAFusionModel, make_avqa_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=1, accum_steps=1, lr=LR_AVQA,
+                       lr_mlp=LR_AVQA, decay=DECAY_AVQA,
+                       decay_epoch=DECAY_EPOCH)
+    model = AVQAFusionModel(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=STEPS_PER_EPOCH)
+    train_step = make_train_step(
+        make_avqa_loss_fn(model), rng_streams=("dropout", "specaug"),
+        donate=False)
+    losses = []
+    it = iter(batches)
+    for i in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave, posi, nega, question, answer = next(it)
+        batch = {"wave": jnp.asarray(wave),
+                 "visual_posi": jnp.asarray(posi.transpose(0, 1, 3, 4, 2)),
+                 "visual_nega": jnp.asarray(nega.transpose(0, 1, 3, 4, 2)),
+                 "question": jnp.asarray(question.astype(np.int32)),
+                 "answer": jnp.asarray(answer.astype(np.int32))}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_avqa_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    from test_reference_parity_models import make_tiny_ref_avqa
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_avqa_fusion_net, torch_state_dict_to_numpy)
+
+    model_t, cfg = make_tiny_ref_avqa(monkeypatch)
+
+    B_, T_ = 1, cfg.num_segments
+    rng = np.random.RandomState(19)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave = (rng.randn(B_, T_, cfg.audio_len) * 0.1).astype(np.float32)
+        posi = rng.rand(B_, T_, 3, cfg.swin.img_size, cfg.swin.img_size
+                        ).astype(np.float32)
+        nega = rng.rand(B_, T_, 3, cfg.swin.img_size, cfg.swin.img_size
+                        ).astype(np.float32)
+        question = rng.randint(0, cfg.qst_vocab, (B_, cfg.max_qst_len))
+        answer = rng.randint(0, cfg.answer_vocab, (B_,))
+        batches.append((wave, posi, nega, question, answer))
+
+    params, batch_stats = convert_avqa_fusion_net(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        moe_kwargs=dict(num_multimodal=cfg.moe.num_multimodal_experts,
+                        num_singlemodal=cfg.moe.num_singlemodal_experts,
+                        num_conv_group=cfg.moe.adapter.num_conv_group,
+                        use_bn=cfg.moe.adapter.use_bn,
+                        use_gate=cfg.moe.adapter.use_gate))
+
+    ref_losses = _torch_curve_avqa(model_t, batches)
+    got_losses = _jax_curve_avqa(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
+
+
 # -------------------------------------------------------------- AVVP (MGN)
 #
 # Second task family (the AVE test above covers the per-group-LR Adam recipe;
