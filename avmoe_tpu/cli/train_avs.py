@@ -54,6 +54,11 @@ def parse_args():
                    "euclidean/KL, ref avs_ms3/loss.py:23-75)")
     p.add_argument("--closer_loss", action="store_true",
                    help="nearest-audio pairing (ref avs_ms3/loss.py:76-131)")
+    p.add_argument("--load_balancing_loss_weight", type=float, default=None,
+                   help="LB weight in the train total; default mirrors the"
+                        " published recipe per setting (s4: 0 — off, ms3:"
+                        " 0.01; ref train_v2.sh + base_options"
+                        " --use_load_balacing_loss)")
     p.add_argument("--model_save_dir", type=str, default="checkpoints/avs")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--precise", action="store_true",
@@ -82,13 +87,16 @@ def main():
                   sa_loss_stages=tuple(args.tpavi_stages) if args.sa_loss_flag else ())
     if args.setting == "ms3":
         # MS3 deltas (avs_ms3/train_v2.sh + base_options.py): latent-token
-        # "v2" expert self-attention and temporal gate gamma=0.1
+        # "v2" expert self-attention, temporal gate gamma=0.1, LB loss ON
+        # at 0.01 (train_v2.sh:10-11; S4's recipe leaves LB off)
         import dataclasses as _dc
 
         cfg = replace(
-            cfg, temporal_gamma=0.1,
+            cfg, temporal_gamma=0.1, lb_loss_weight=0.01,
             moe=_dc.replace(cfg.moe, adapter=_dc.replace(
                 cfg.moe.adapter, self_attention="token")))
+    if args.load_balancing_loss_weight is not None:
+        cfg = replace(cfg, lb_loss_weight=args.load_balancing_loss_weight)
     tcfg = TrainConfig(batch_size=args.train_batch_size, accum_steps=args.accum_itr,
                        epochs=args.max_epoches, lr=args.lr, lr_mlp=args.lr,
                        seed=args.seed)
@@ -122,11 +130,16 @@ def main():
          "specaug": jax.random.PRNGKey(2), "router": jax.random.PRNGKey(3)},
         jnp.asarray(sample["images"][None]), jnp.asarray(sample["wave"][None]),
     )
-    report = param_report(variables["params"])
+    # S4's reference freeze scan only matches 'ViT'/'swin' names, so its
+    # HTS-AT audio backbone TRAINS (avs_s4/train_v2.py:146-163, no htsat
+    # branch); MS3 freezes both (avs_ms3/train_v2.py:128-131)
+    frozen_scopes = ("swin",) if args.setting == "s4" else ("swin", "htsat")
+    report = param_report(variables["params"], frozen_scopes)
     log.info("params: trainable %.4f%% total %.1fM",
              report["trainable_pct"], report["total"] / 1e6)
 
-    state = create_train_state(model, variables, tcfg, len(train_loader))
+    state = create_train_state(model, variables, tcfg, len(train_loader),
+                               frozen_scopes=frozen_scopes)
     state = replicate(state, mesh)
     train_step = make_train_step(make_avs_loss_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)

@@ -332,7 +332,12 @@ class AVSConfig:
     sa_loss_stages: Tuple[int, ...] = ()
     sa_loss_kind: str = "cosine"   # 'cosine' | 'euclidean' | 'kl' (MS3)
     closer_loss: bool = False      # nearest-audio pairing (MS3)
-    lb_loss_weight: float = 1.0
+    # LB weight in the TRAIN total. The reference computes the router LB loss
+    # but only adds it when --use_load_balacing_loss=1: the published S4
+    # recipe leaves it OFF (avs_s4/train_v2.sh passes nothing, default 0),
+    # MS3's recipe turns it on at 0.01 (avs_ms3/train_v2.sh:10-11). The MS3
+    # CLI branch sets 0.01; override via --load_balancing_loss_weight.
+    lb_loss_weight: float = 0.0
     # temporal-attention gate strength: S4 hardcodes 0.05
     # (avs_s4/model/PVT_AVSModel_v2.py:451); MS3 exposes --gamma, default 0.1
     # (avs_ms3/base_options.py:77, model :638)

@@ -20,29 +20,40 @@ FROZEN_SCOPES = ("swin", "htsat")
 TRAINABLE_MARKERS = ("moe", "adapter")
 
 
-def is_trainable_path(path: Tuple[str, ...]) -> bool:
+def is_trainable_path(path: Tuple[str, ...],
+                      frozen_scopes: Tuple[str, ...] = FROZEN_SCOPES) -> bool:
     """True if the param at `path` should train.
 
-    Frozen: anything under a backbone scope ('swin', 'htsat') unless the path
-    also crosses an adapter/MoE scope. Everything else (heads, temporal attn,
-    MoE adapters, task projections) trains."""
+    Frozen: anything under a backbone scope in `frozen_scopes` unless the
+    path also crosses an adapter/MoE scope. Everything else (heads, temporal
+    attn, MoE adapters, task projections) trains.
+
+    `frozen_scopes` exists because the reference drivers disagree per task:
+    AVE/AVVP/AVQA and AVS-MS3 freeze both backbones, but the AVS-S4 scan only
+    matches 'ViT'/'swin' names so its HTS-AT audio backbone TRAINS
+    (avs_s4/train_v2.py:146-163 has no htsat branch, unlike
+    avs_ms3/train_v2.py:128-131) — S4 passes ('swin',)."""
     if any(any(m in part for m in TRAINABLE_MARKERS) for part in path):
         return True
-    return not any(part in FROZEN_SCOPES for part in path)
+    return not any(part in frozen_scopes for part in path)
 
 
-def trainable_mask(params) -> Any:
+def trainable_mask(params, frozen_scopes: Tuple[str, ...] = FROZEN_SCOPES) -> Any:
     """Pytree of bools, True where trainable."""
     flat = traverse_util.flatten_dict(params)
-    mask = {k: is_trainable_path(k) for k in flat}
+    mask = {k: is_trainable_path(k, frozen_scopes) for k in flat}
     return traverse_util.unflatten_dict(mask)
 
 
-def partition_params(params) -> Tuple[Dict, Dict]:
+def partition_params(
+    params, frozen_scopes: Tuple[str, ...] = FROZEN_SCOPES
+) -> Tuple[Dict, Dict]:
     """Split params into (trainable, frozen) flat-path dicts."""
     flat = traverse_util.flatten_dict(params)
-    trainable = {k: v for k, v in flat.items() if is_trainable_path(k)}
-    frozen = {k: v for k, v in flat.items() if not is_trainable_path(k)}
+    trainable = {k: v for k, v in flat.items()
+                 if is_trainable_path(k, frozen_scopes)}
+    frozen = {k: v for k, v in flat.items()
+              if not is_trainable_path(k, frozen_scopes)}
     return (
         traverse_util.unflatten_dict(trainable),
         traverse_util.unflatten_dict(frozen),
@@ -59,10 +70,11 @@ def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
-def param_report(params) -> Dict[str, float]:
+def param_report(params,
+                 frozen_scopes: Tuple[str, ...] = FROZEN_SCOPES) -> Dict[str, float]:
     """Trainable / additional / total parameter stats, as the reference prints
     (main_trans_v3.py:317-319)."""
-    trainable, frozen = partition_params(params)
+    trainable, frozen = partition_params(params, frozen_scopes)
     t, f = count_params(trainable), count_params(frozen)
     total = t + f
     return {

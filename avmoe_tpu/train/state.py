@@ -91,11 +91,15 @@ def create_train_state(
     cfg: TrainConfig,
     steps_per_epoch: int = 1,
     tx: Optional[optax.GradientTransformation] = None,
+    frozen_scopes: Optional[tuple] = None,
 ) -> AVMoETrainState:
     params = variables["params"]
     if isinstance(params, FrozenDict):
         params = params.unfreeze()
-    trainable, frozen = partition_params(params)
+    if frozen_scopes is None:
+        trainable, frozen = partition_params(params)
+    else:
+        trainable, frozen = partition_params(params, frozen_scopes)
     tx = tx or make_optimizer(cfg, steps_per_epoch)
     return AVMoETrainState(
         step=jnp.zeros((), jnp.int32),

@@ -304,16 +304,10 @@ def test_avqa_fusion_net_matches_reference(monkeypatch):
 # ------------------------------------------------------------- AVS (S4+MS3)
 
 
-@pytest.mark.parametrize("setting", ["s4", "ms3"])
-def test_avs_pred_endecoder_matches_reference(monkeypatch, setting):
-    """Runs the reference's OWN Pred_endecoder forward (avs_s4/model/
-    PVT_AVSModel_v2.py:786-948; ms3 variant :964-1139) - lockstep encoder
-    with noisy-router MoE adapters (eval: no noise), per-stage projections,
-    4-scale temporal attention, TPAVI on all stages, FPN fusion, mask head -
-    at tiny dims and compares mask logits + per-stage features against
-    AVSModel with weights converted via convert_pred_endecoder. The ms3
-    variant exercises the "v2" latent-token expert self-attention and
-    gamma=0.1 temporal gates (avs_ms3/train_v2.sh)."""
+def make_tiny_ref_avs(monkeypatch, setting):
+    """Builds the reference's OWN Pred_endecoder (s4 or ms3) at tiny dims
+    with random weights, plus the matching tiny AVS config (shared by the
+    activation-parity test below and the AVS training-curve test)."""
     import dataclasses
     import types as _types
 
@@ -437,6 +431,22 @@ def test_avs_pred_endecoder_matches_reference(monkeypatch, setting):
     model.audio_linear = L(cfg.htsat.num_features, 128)
     model.eval()
     _randomize_torch(model, 23)
+    return model, cfg
+
+
+@pytest.mark.parametrize("setting", ["s4", "ms3"])
+def test_avs_pred_endecoder_matches_reference(monkeypatch, setting):
+    """Runs the reference's OWN Pred_endecoder forward (avs_s4/model/
+    PVT_AVSModel_v2.py:786-948; ms3 variant :964-1139) - lockstep encoder
+    with noisy-router MoE adapters (eval: no noise), per-stage projections,
+    4-scale temporal attention, TPAVI on all stages, FPN fusion, mask head -
+    at tiny dims and compares mask logits + per-stage features against
+    AVSModel with weights converted via convert_pred_endecoder. The ms3
+    variant exercises the "v2" latent-token expert self-attention and
+    gamma=0.1 temporal gates (avs_ms3/train_v2.sh)."""
+    model, cfg = make_tiny_ref_avs(monkeypatch, setting)
+    sa_kind = "mha" if setting == "s4" else "token"
+    T = cfg.num_segments
 
     B = 1
     rng = np.random.RandomState(6)

@@ -292,6 +292,128 @@ def test_avqa_training_curve_matches_reference(monkeypatch):
     assert all(np.isfinite(ref_losses))
 
 
+# ----------------------------------------------------------------- AVS (S4)
+#
+# Fourth task family: the published S4 recipe — freeze scan that matches
+# ONLY 'ViT'/'swin' names so the HTS-AT audio backbone TRAINS
+# (avs_s4/train_v2.py:146-163 has no htsat branch, unlike ms3's :128-131),
+# single-LR Adam with NO scheduler (:215), and the loss at the train_v2.sh
+# defaults (sa_loss_flag=False, lambda_1=0, use_load_balacing_loss=0), which
+# reduces IouSemanticAwareLoss to first-frame IoU-BCE (avs_s4/loss.py:7-27,
+# 80-116). Note the shipped driver itself has a latent version-skew bug —
+# train_v2.py:247 unpacks 6 names from the model's 9-tuple return
+# (PVT_AVSModel_v2.py:945) — so this test replicates the intended loop
+# (pred = outs[0]) rather than the crash.
+
+LR_AVS = 3e-4  # avs_s4/train_v2.sh:29
+
+
+def _torch_curve_avs(model, batches):
+    _zero_torch_stochastic(model)
+    for name, param in model.named_parameters():
+        if "ViT" in name or "swin" in name:
+            param.requires_grad = False  # htsat NOT matched: it trains
+        else:
+            param.requires_grad = True
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR_AVS)
+    criterion = nn.BCELoss()
+
+    model.train()
+    losses = []
+    for imgs, wave, mask in batches:
+        outs = model(torch.from_numpy(imgs), torch.from_numpy(wave),
+                     None, is_training=True)
+        pred = outs[0]                       # (B*T, 1, H, W)
+        # F1_IoU_BCELoss verbatim (avs_s4/loss.py:16-25): sigmoid, stride-5
+        # first-frame select, BCE vs the (B,1,1,H,W)->(B,1,H,W) first mask
+        p = torch.sigmoid(pred)
+        idx = torch.tensor(list(range(0, len(p), 5)))
+        first_pred = torch.index_select(p, 0, idx)
+        first_gt = torch.from_numpy(mask)[:, None]   # (B,1,H,W)
+        loss = criterion(first_pred, first_gt)
+        loss.backward()
+        optimizer.step()
+        optimizer.zero_grad()
+        losses.append(float(loss.item()))
+    return losses
+
+
+def _jax_curve_avs(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.avs import AVSModel, make_avs_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=1, accum_steps=1, lr=LR_AVS, lr_mlp=LR_AVS,
+                       decay=1.0, decay_epoch=1000)  # no scheduler (ref :215)
+    model = AVSModel(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=len(batches),
+        frozen_scopes=("swin",))  # the S4 scan trains htsat
+    train_step = make_train_step(
+        make_avs_loss_fn(model), rng_streams=("dropout", "specaug"),
+        donate=False)
+    losses = []
+    for i, (imgs, wave, mask) in enumerate(batches):
+        batch = {"images": jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+                 "wave": jnp.asarray(wave),
+                 "mask": jnp.asarray(mask)}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_avs_s4_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    import dataclasses as _dc
+
+    from test_reference_parity_models import make_tiny_ref_avs
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_pred_endecoder, torch_state_dict_to_numpy)
+    from avmoe_tpu.config import replace
+
+    model_t, cfg = make_tiny_ref_avs(monkeypatch, "s4")
+    # router noise is train-time stochastic on both sides (hardcoded
+    # randn*0.01, PVT_AVSModel_v2.py:294-296); zero it for determinism
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **kw: torch.zeros_like(x))
+    cfg = replace(cfg, moe=_dc.replace(cfg.moe, router_noise_std=0.0))
+    assert cfg.lb_loss_weight == 0.0  # published S4 recipe: LB off
+
+    B_, T_ = 1, cfg.num_segments
+    rng = np.random.RandomState(23)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        imgs = rng.rand(B_, T_, 3, cfg.swin.img_size, cfg.swin.img_size
+                        ).astype(np.float32)
+        wave = (rng.randn(B_, T_, cfg.audio_len) * 0.1).astype(np.float32)
+        mask = (rng.rand(B_, cfg.mask_size, cfg.mask_size) > 0.5
+                ).astype(np.float32)
+        batches.append((imgs, wave, mask))
+
+    sa_kind = cfg.moe.adapter.self_attention
+    params, batch_stats = convert_pred_endecoder(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        tpavi_stages=cfg.tpavi_stages,
+        moe_kwargs=dict(num_multimodal=cfg.moe.num_multimodal_experts,
+                        num_singlemodal=cfg.moe.num_singlemodal_experts,
+                        num_conv_group=cfg.moe.adapter.num_conv_group,
+                        self_attention=sa_kind))
+
+    ref_losses = _torch_curve_avs(model_t, batches)
+    got_losses = _jax_curve_avs(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
+
+
 # -------------------------------------------------------------- AVVP (MGN)
 #
 # Second task family (the AVE test above covers the per-group-LR Adam recipe;
