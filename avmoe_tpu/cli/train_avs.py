@@ -47,11 +47,30 @@ def parse_args():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tpavi_stages", type=int, nargs="*", default=[0, 1, 2, 3])
-    p.add_argument("--sa_loss_flag", action="store_true")
-    p.add_argument("--lambda_1", type=float, default=0.0)
+    p.add_argument("--sa_loss_flag", action="store_true",
+                   help="force the masked-AV term on (it is ON by default"
+                        " for ms3, per its published recipe)")
+    p.add_argument("--no_sa_loss", action="store_true",
+                   help="force the masked-AV term off")
+    p.add_argument("--lambda_1", type=float, default=None,
+                   help="masked-AV weight; default mirrors the published"
+                        " recipe (s4: 0, ms3: 0.5 — avs_ms3/train_v2.sh)")
     p.add_argument("--sa_loss_kind", choices=["cosine", "euclidean", "kl"],
-                   default="cosine", help="masked-AV flavor (MS3 adds "
-                   "euclidean/KL, ref avs_ms3/loss.py:23-75)")
+                   default=None, help="masked-AV flavor (default s4: cosine,"
+                   " ms3: kl per --kl_flag in its train_v2.sh; ref"
+                   " avs_ms3/loss.py:23-75)")
+    p.add_argument("--sa_norm_fea", type=int, default=None,
+                   help="normalize a/v features in the masked-AV term"
+                        " (default s4: 1 — hardcoded in its loss, ms3: 0 —"
+                        " recipe leaves --norm_fea_flag unset)")
+    p.add_argument("--sa_threshold", type=int, default=None,
+                   help="threshold pooled masks at 0.5 in the masked-AV term"
+                        " (default s4: 1, ms3: 0 — same provenance as"
+                        " --sa_norm_fea)")
+    p.add_argument("--masked_av_stages", type=int, nargs="*", default=None,
+                   help="stages the masked-AV term covers (ref train_v2.py"
+                        " --masked_av_stages; the ms3 recipe passes 0 1 2 3)."
+                        " Default: all --tpavi_stages when the term is on")
     p.add_argument("--closer_loss", action="store_true",
                    help="nearest-audio pairing (ref avs_ms3/loss.py:76-131)")
     p.add_argument("--load_balancing_loss_weight", type=float, default=None,
@@ -68,6 +87,44 @@ def parse_args():
     return p.parse_args()
 
 
+def build_config(args) -> AVSConfig:
+    """Resolve the AVSConfig from CLI args with per-setting recipe defaults.
+
+    S4 (avs_s4/train_v2.sh): masked-AV off entirely, LB off; its loss
+    hardcodes norm_fea/threshold True (avs_s4/loss.py:30-78).
+    MS3 (avs_ms3/train_v2.sh): --masked_av_flag --lambda_1 0.5 --kl_flag
+    --masked_av_stages 0 1 2 3 (norm/threshold flags unset), LB on at 0.01,
+    latent-token "v2" expert self-attention, temporal gate gamma=0.1."""
+    cfg = mini_avs_config() if args.mini else tiny_avs_config() if args.tiny else AVSConfig()
+    ms3 = args.setting == "ms3"
+    sa_on = (args.sa_loss_flag or ms3) and not args.no_sa_loss
+    cfg = replace(cfg, setting=args.setting,
+                  tpavi_stages=tuple(args.tpavi_stages),
+                  sa_loss_flag=sa_on,
+                  lambda_1=(args.lambda_1 if args.lambda_1 is not None
+                            else 0.5 if ms3 else 0.0),
+                  sa_loss_kind=args.sa_loss_kind or ("kl" if ms3 else "cosine"),
+                  sa_norm_fea=(bool(args.sa_norm_fea)
+                               if args.sa_norm_fea is not None else not ms3),
+                  sa_threshold=(bool(args.sa_threshold)
+                                if args.sa_threshold is not None else not ms3),
+                  closer_loss=args.closer_loss,
+                  sa_loss_stages=(tuple(args.masked_av_stages)
+                                  if args.masked_av_stages is not None
+                                  else tuple(args.tpavi_stages)) if sa_on
+                                 else ())
+    if ms3:
+        import dataclasses as _dc
+
+        cfg = replace(
+            cfg, temporal_gamma=0.1, lb_loss_weight=0.01,
+            moe=_dc.replace(cfg.moe, adapter=_dc.replace(
+                cfg.moe.adapter, self_attention="token")))
+    if args.load_balancing_loss_weight is not None:
+        cfg = replace(cfg, lb_loss_weight=args.load_balancing_loss_weight)
+    return cfg
+
+
 def main():
     apply_platform_override()
     enable_compilation_cache()
@@ -79,24 +136,7 @@ def main():
     apply_perf_defaults()
     if args.precise:
         apply_precise_mode()
-    cfg = mini_avs_config() if args.mini else tiny_avs_config() if args.tiny else AVSConfig()
-    cfg = replace(cfg, setting=args.setting,
-                  tpavi_stages=tuple(args.tpavi_stages),
-                  sa_loss_flag=args.sa_loss_flag, lambda_1=args.lambda_1,
-                  sa_loss_kind=args.sa_loss_kind, closer_loss=args.closer_loss,
-                  sa_loss_stages=tuple(args.tpavi_stages) if args.sa_loss_flag else ())
-    if args.setting == "ms3":
-        # MS3 deltas (avs_ms3/train_v2.sh + base_options.py): latent-token
-        # "v2" expert self-attention, temporal gate gamma=0.1, LB loss ON
-        # at 0.01 (train_v2.sh:10-11; S4's recipe leaves LB off)
-        import dataclasses as _dc
-
-        cfg = replace(
-            cfg, temporal_gamma=0.1, lb_loss_weight=0.01,
-            moe=_dc.replace(cfg.moe, adapter=_dc.replace(
-                cfg.moe.adapter, self_attention="token")))
-    if args.load_balancing_loss_weight is not None:
-        cfg = replace(cfg, lb_loss_weight=args.load_balancing_loss_weight)
+    cfg = build_config(args)
     tcfg = TrainConfig(batch_size=args.train_batch_size, accum_steps=args.accum_itr,
                        epochs=args.max_epoches, lr=args.lr, lr_mlp=args.lr,
                        seed=args.seed)

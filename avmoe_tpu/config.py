@@ -332,6 +332,11 @@ class AVSConfig:
     sa_loss_stages: Tuple[int, ...] = ()
     sa_loss_kind: str = "cosine"   # 'cosine' | 'euclidean' | 'kl' (MS3)
     closer_loss: bool = False      # nearest-audio pairing (MS3)
+    # masked-AV flavor knobs: S4's loss hardcodes both True
+    # (avs_s4/loss.py:30-78); MS3 exposes --norm_fea_flag/--threshold_flag
+    # whose published recipe leaves both OFF (avs_ms3/train_v2.sh)
+    sa_norm_fea: bool = True
+    sa_threshold: bool = True
     # LB weight in the TRAIN total. The reference computes the router LB loss
     # but only adds it when --use_load_balacing_loss=1: the published S4
     # recipe leaves it OFF (avs_s4/train_v2.sh passes nothing, default 0),

@@ -97,8 +97,11 @@ def masked_av_loss(
     sigmoid_after_pool = setting == "ms3"
     for stage in count_stages:
         a = a_fea_list[stage].reshape(-1, a_fea_list[stage].shape[-1])  # (BT, C)
+        # threshold is honored for every kind (the MS3 reference gates it on
+        # --threshold_flag independently of euclidean/kl, avs_ms3/loss.py:52);
+        # the closer flavor always takes the soft-mask mean path (:79-131)
         v = _masked_visual_feature(pred_logits, v_map_list[stage], pooling,
-                                   threshold and kind == "cosine" and not closer,
+                                   threshold and not closer,
                                    sigmoid_after_pool)
         if norm_fea:
             a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
@@ -138,9 +141,14 @@ def iou_semantic_aware_loss(
     pooling: str = "avg",
     kind: str = "cosine",
     closer: bool = False,
+    norm_fea: bool = True,
+    threshold: bool = True,
 ) -> Tuple[jax.Array, Dict]:
     """Combined segmentation loss (ref: avs_s4/loss.py:80-116,
-    avs_ms3/loss.py:133-170)."""
+    avs_ms3/loss.py:133-170). S4's masked-AV flavor hardcodes
+    norm_fea/threshold True (avs_s4/loss.py:30-78); MS3 exposes them as
+    flags whose published recipe leaves both OFF (train_v2.sh vs
+    train_v2.py:38-39 defaults)."""
     if setting == "s4":
         iou = f1_iou_bce_loss(pred_logits, gt_mask, num_frames)
     else:
@@ -150,6 +158,7 @@ def iou_semantic_aware_loss(
     if sa_loss_flag and lambda_1 > 0 and count_stages:
         sa = masked_av_loss(pred_logits, a_fea_list, v_map_list, count_stages,
                             pooling=pooling, kind=kind, closer=closer,
+                            norm_fea=norm_fea, threshold=threshold,
                             setting=setting)
         total = total + lambda_1 * sa
         aux["sa_loss"] = sa

@@ -150,6 +150,7 @@ def make_avs_loss_fn(model: AVSModel):
             lambda_1=cfg.lambda_1, count_stages=cfg.sa_loss_stages,
             sa_loss_flag=cfg.sa_loss_flag, kind=cfg.sa_loss_kind,
             closer=cfg.closer_loss,
+            norm_fea=cfg.sa_norm_fea, threshold=cfg.sa_threshold,
         )
         lb = out["telemetry"]["lb_loss"]
         loss = loss + cfg.lb_loss_weight * lb

@@ -414,6 +414,138 @@ def test_avs_s4_training_curve_matches_reference(monkeypatch):
     assert all(np.isfinite(ref_losses))
 
 
+# ---------------------------------------------------------------- AVS (MS3)
+#
+# Fifth recipe: MS3 (avs_ms3/train_v2.sh) — freeze scan that DOES freeze
+# htsat (train_v2.py:128-131), single-LR Adam at 1.5e-4 with no scheduler
+# (:178), and the full published loss: all-frame F5 IoU-BCE + 0.5 * masked-AV
+# KL over stages 0-3 with norm_fea/threshold UNSET (loss.py:7-20,23-74)
+# + 0.01 * router load-balance total (:217-218).
+
+LR_MS3 = 1.5e-4  # avs_ms3/train_v2.sh:33
+
+
+def _torch_curve_avs_ms3(model, batches):
+    _zero_torch_stochastic(model)
+    for name, param in model.named_parameters():
+        if "ViT" in name or "swin" in name:
+            param.requires_grad = False
+        elif "htsat" in name:
+            param.requires_grad = False  # ms3 freezes the audio backbone
+        else:
+            param.requires_grad = True
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR_MS3)
+    criterion = nn.BCELoss()
+
+    model.train()
+    losses = []
+    for imgs, wave, mask in batches:
+        pred, v_map_list, a_fea_list, _idx, _probs, lb = model(
+            torch.from_numpy(imgs), torch.from_numpy(wave),
+            None, is_training=True)
+        B_, T_ = mask.shape[:2]
+        gt = torch.from_numpy(mask).view(B_ * T_, 1, *mask.shape[2:])
+        loss = criterion(torch.sigmoid(pred), gt)   # F5_IoU_BCELoss
+        # A_MaskedV_SimmLoss KL flavor verbatim (avs_ms3/loss.py:37-74,
+        # norm_fea=False, threshold=False, mask_pooling_type='avg')
+        sa = 0.0
+        for stage in (0, 1, 2, 3):
+            a_fea = a_fea_list[stage].view(-1, a_fea_list[stage].shape[-1])
+            v_map = v_map_list[stage]
+            H, W = v_map.shape[-2], v_map.shape[-1]
+            # ms3 pools the RAW logits, then sigmoids the pooled result
+            # (avs_ms3/loss.py:46-50)
+            down = torch.sigmoid(torch.nn.AdaptiveAvgPool2d((H, W))(pred))
+            masked_v_fea = torch.mul(v_map, down).mean(-1).mean(-1)
+            sa = sa + torch.nn.functional.kl_div(
+                masked_v_fea.softmax(dim=-1).log(), a_fea.softmax(dim=-1),
+                reduction="sum")
+        sa = sa / 4
+        loss = loss + 0.5 * sa + lb * 0.01
+        loss.backward()
+        optimizer.step()
+        optimizer.zero_grad()
+        losses.append(float(loss.item()))
+    return losses
+
+
+def _jax_curve_avs_ms3(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.avs import AVSModel, make_avs_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=1, accum_steps=1, lr=LR_MS3, lr_mlp=LR_MS3,
+                       decay=1.0, decay_epoch=1000)
+    model = AVSModel(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=len(batches))  # default scopes: htsat frozen (ms3)
+    train_step = make_train_step(
+        make_avs_loss_fn(model), rng_streams=("dropout", "specaug"),
+        donate=False)
+    losses = []
+    for i, (imgs, wave, mask) in enumerate(batches):
+        batch = {"images": jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+                 "wave": jnp.asarray(wave),
+                 "mask": jnp.asarray(mask)}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_avs_ms3_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    import dataclasses as _dc
+
+    from test_reference_parity_models import make_tiny_ref_avs
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_pred_endecoder, torch_state_dict_to_numpy)
+    from avmoe_tpu.config import replace
+
+    model_t, cfg = make_tiny_ref_avs(monkeypatch, "ms3")
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **kw: torch.zeros_like(x))
+    cfg = replace(
+        cfg, moe=_dc.replace(cfg.moe, router_noise_std=0.0),
+        # the published ms3 recipe (train_v2.sh): masked-AV KL at 0.5 over
+        # all stages, norm_fea/threshold unset, LB at 0.01
+        sa_loss_flag=True, lambda_1=0.5, sa_loss_stages=(0, 1, 2, 3),
+        sa_loss_kind="kl", sa_norm_fea=False, sa_threshold=False,
+        lb_loss_weight=0.01)
+
+    B_, T_ = 1, cfg.num_segments
+    rng = np.random.RandomState(29)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        imgs = rng.rand(B_, T_, 3, cfg.swin.img_size, cfg.swin.img_size
+                        ).astype(np.float32)
+        wave = (rng.randn(B_, T_, cfg.audio_len) * 0.1).astype(np.float32)
+        mask = (rng.rand(B_, T_, cfg.mask_size, cfg.mask_size) > 0.5
+                ).astype(np.float32)
+        batches.append((imgs, wave, mask))
+
+    params, batch_stats = convert_pred_endecoder(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        tpavi_stages=cfg.tpavi_stages,
+        moe_kwargs=dict(num_multimodal=cfg.moe.num_multimodal_experts,
+                        num_singlemodal=cfg.moe.num_singlemodal_experts,
+                        num_conv_group=cfg.moe.adapter.num_conv_group,
+                        self_attention=cfg.moe.adapter.self_attention))
+
+    ref_losses = _torch_curve_avs_ms3(model_t, batches)
+    got_losses = _jax_curve_avs_ms3(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
+
+
 # -------------------------------------------------------------- AVVP (MGN)
 #
 # Second task family (the AVE test above covers the per-group-LR Adam recipe;
