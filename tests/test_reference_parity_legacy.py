@@ -75,7 +75,9 @@ def _patch_timm(monkeypatch, net, cfg):
             num_heads=cfg.swin.num_heads, window_size=cfg.swin.window_size))
 
 
-def test_mmil_v1_matches_reference(monkeypatch):
+def make_tiny_ref_mmil_v1(monkeypatch):
+    """Tiny reference MMIL_Net (v1) with randomized weights + the matching
+    AVEConfig — shared by the activation- and training-curve parity tests."""
     net = load_ref_module(f"{REF_ROOT}/AVE", "nets.net_trans")
     esc = load_ref_module(f"{REF_ROOT}/AVE", "nets.esc_config")
 
@@ -104,6 +106,12 @@ def test_mmil_v1_matches_reference(monkeypatch):
     model.temporal_attn.v_fc = torch.nn.Linear(cfg.swin.num_features, 512)
     model.eval()
     _randomize_torch(model, 29)
+    return model, cfg
+
+
+def test_mmil_v1_matches_reference(monkeypatch):
+    model, cfg = make_tiny_ref_mmil_v1(monkeypatch)
+    a_cfg = cfg.moe.adapter
 
     B, T = 1, 10  # forward_swin hardcodes 10 segments (net_trans.py:1038)
     rng = np.random.RandomState(5)

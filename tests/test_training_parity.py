@@ -675,3 +675,131 @@ def test_avvp_training_curve_matches_reference(monkeypatch):
 
     np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
     assert all(np.isfinite(ref_losses))
+
+
+# ------------------------------------------------------- AVE legacy (v1)
+#
+# Sixth recipe: the legacy DG-SCT driver (AVE/main_trans.py). Same freeze
+# scan + per-group Adam + StepLR as v3 (:200-260), but the MMIL_Net v1
+# model (audio_visual_gate head) and the FOUR-term loss — BCE(is_event) +
+# BCE(gate) + CE(event) + CE(cas) (:118-129). v1 has no 'mlp_class'
+# params, so the lr_mlp group is empty and every trainable param runs at
+# --lr; the loop zero_grads at the TOP of each iteration (:108), which at
+# accum_itr=1 matches the standard step/zero_grad order.
+
+
+def _torch_curve_mmil_v1(model, batches):
+    _zero_torch_stochastic(model)
+    param_group = []
+    for name, param in model.named_parameters():
+        param.requires_grad = False
+        if "ViT" in name or "swin" in name:
+            param.requires_grad = False  # is_vit_ln=0
+        elif "htsat" in name:
+            param.requires_grad = False
+        elif ("adapter_blocks" in name or "CMBS" in name
+              or "mlp_class" in name or "temporal_attn" in name):
+            param.requires_grad = True
+        if "mlp_class" in name:
+            param_group.append({"params": param, "lr": LR_MLP})
+        else:
+            param_group.append({"params": param, "lr": LR})
+    optimizer = torch.optim.Adam(param_group)
+    scheduler = torch.optim.lr_scheduler.StepLR(
+        optimizer, step_size=DECAY_EPOCH, gamma=DECAY)
+    criterion = nn.BCEWithLogitsLoss()
+    criterion_event = nn.CrossEntropyLoss()
+
+    model.train()
+    losses = []
+    it = iter(batches)
+    for _epoch in range(N_EPOCHS):
+        for _step in range(STEPS_PER_EPOCH):
+            wave, image, gt = next(it)
+            optimizer.zero_grad()  # top-of-iteration (main_trans.py:108)
+            is_event_scores, event_scores, audio_visual_gate, av_score = (
+                model([torch.from_numpy(wave)],
+                      torch.from_numpy(image.transpose(0, 1, 4, 2, 3).copy()),
+                      rand_train_idx=11, stage="train"))
+            is_event_scores = (
+                is_event_scores.transpose(1, 0).squeeze(-1).contiguous())
+            audio_visual_gate = (
+                audio_visual_gate.transpose(1, 0).squeeze(-1).contiguous())
+            labels = torch.from_numpy(gt)
+            labels_foreground = labels[:, :, :-1]
+            labels_BCE, labels_evn = labels_foreground.max(-1)
+            labels_event, _ = labels_evn.max(-1)
+            loss = (criterion(is_event_scores, labels_BCE)
+                    + criterion(audio_visual_gate, labels_BCE)
+                    + criterion_event(event_scores, labels_event)
+                    + criterion_event(av_score, labels_event))
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss.item()))
+        scheduler.step()
+    return losses
+
+
+def _jax_curve_mmil_v1(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.ave_legacy import MMILNetV1, make_mmil_v1_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=B, accum_steps=1, lr=LR, lr_mlp=LR_MLP,
+                       decay=DECAY, decay_epoch=DECAY_EPOCH)
+    model = MMILNetV1(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=STEPS_PER_EPOCH)
+    train_step = make_train_step(
+        make_mmil_v1_loss_fn(model, mixup_alpha=0.0),
+        rng_streams=("dropout", "specaug"), donate=False)
+    losses = []
+    it = iter(batches)
+    for i in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave, image, gt = next(it)
+        batch = {"wave": jnp.asarray(wave), "images": jnp.asarray(image),
+                 "labels": jnp.asarray(gt)}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_ave_legacy_v1_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    from test_reference_parity_legacy import make_tiny_ref_mmil_v1
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_mmil_v1, torch_state_dict_to_numpy)
+
+    model_t, cfg = make_tiny_ref_mmil_v1(monkeypatch)
+    a_cfg = cfg.moe.adapter
+
+    rng = np.random.RandomState(17)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave = (rng.randn(B, T, cfg.audio_len) * 0.1).astype(np.float32)
+        imgs = rng.rand(B, T, cfg.swin.img_size, cfg.swin.img_size, 3
+                        ).astype(np.float32)
+        gt = np.eye(cfg.num_classes + 1, dtype=np.float32)[
+            rng.randint(0, cfg.num_classes + 1, (B, T))]
+        batches.append((wave, imgs, gt))
+
+    params, batch_stats = convert_mmil_v1(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        n_sites=12, swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths,
+        adapter_kwargs=dict(num_conv_group=a_cfg.num_conv_group,
+                            use_bn=a_cfg.use_bn, use_gate=a_cfg.use_gate,
+                            before_layernorm=a_cfg.before_layernorm,
+                            post_layernorm=a_cfg.post_layernorm))
+
+    ref_losses = _torch_curve_mmil_v1(model_t, batches)
+    got_losses = _jax_curve_mmil_v1(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
