@@ -991,3 +991,30 @@ def convert_mmil_v2(
     _dense(_dense_flat, sd, "mlp_class_2", "mlp_class_2")
     params.update(traverse_util.unflatten_dict(_dense_flat))
     return params, bs
+
+
+def convert_grounding_net(
+    sd: Dict[str, np.ndarray],
+    *,
+    swin_depths: Sequence[int] = (2, 2, 18, 2),
+    htsat_depths: Sequence[int] = (2, 2, 6, 2),
+) -> Tuple[Dict, Dict]:
+    """Reference AVQA_AVatt_Grounding (AVQA/grounding_gen/nets_grd_gen.py:
+    39-202) state_dict -> (params, batch_stats) for
+    models.avqa_grounding.AVQAGroundingModel. Plain frozen backbones (no
+    adapters) + the seven trained Dense heads; the unused avgpool/relu4
+    have no params."""
+    hp, hbs = convert_htsat(strip_prefix(
+        {k: v for k, v in sd.items() if k.startswith("htsat.")}, "htsat."),
+        htsat_depths)
+    params: Dict = {
+        "swin": convert_swinv2_timm(strip_prefix(
+            {k: v for k, v in sd.items() if k.startswith("swin.")}, "swin."),
+            swin_depths),
+        "htsat": hp,
+    }
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for name in ("fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4"):
+        _dense(flat, sd, name, name)
+    params.update(traverse_util.unflatten_dict(flat))
+    return params, {"htsat": hbs}

@@ -61,14 +61,20 @@ class AVQAGroundingModel(nn.Module):
         *,
         train: bool = False,
     ) -> Dict:
-        # frozen backbones, gradients blocked at the feature boundary
+        # Frozen backbones: gradients blocked at the feature boundary, but
+        # the modules run in the CALLER's train mode — the reference's
+        # stage-1 loop calls model.train() with requires_grad=False on
+        # swin/htsat (main_grd_gen.py:30,271-275 + nets_grd_gen.py:125-146),
+        # so bn0 normalizes with BATCH stats (and updates its running
+        # stats) during pretraining. The final htsat norm is skipped, as in
+        # the reference path (nets_grd_gen.py:141-157 loops layers only).
         f_a = jax.lax.stop_gradient(
-            self.htsat.forward_features(self.htsat.embed(wave, train=False),
-                                        train=False)).mean(axis=1)
+            self.htsat.forward_features(self.htsat.embed(wave, train=train),
+                                        train=train)).mean(axis=1)
         grids = []
         for imgs in (posi, nega):
             g = jax.lax.stop_gradient(
-                self.swin.forward_features(self.swin.embed(imgs), train=False))
+                self.swin.forward_features(self.swin.embed(imgs), train=train))
             grids.append(g)
 
         audio_feat = self.fc_a2(nn.relu(self.fc_a1(f_a)))

@@ -146,10 +146,12 @@ def test_mmil_v1_matches_reference(monkeypatch):
     _allclose(torch.as_tensor(g), out["av_gate"], rtol=2e-3, atol=1e-3)
 
 
-def test_mmil_v2_matches_reference(monkeypatch):
+def make_tiny_ref_mmil_v2(monkeypatch):
+    """Tiny reference MMIL_Net_v2 (LAVisH baseline) with randomized weights
+    + the matching AVEConfig — shared by activation- and curve-parity tests."""
     net = load_ref_module(f"{REF_ROOT}/AVE", "nets.net_trans")
 
-    from avmoe_tpu.config import replace, tiny_ave_config
+    from avmoe_tpu.config import tiny_ave_config
 
     cfg = tiny_ave_config()
     _patch_timm(monkeypatch, net, cfg)
@@ -170,6 +172,12 @@ def test_mmil_v2_matches_reference(monkeypatch):
     model.mlp_class = torch.nn.Linear(cfg.swin.num_features * 2, 512)
     model.eval()
     _randomize_torch(model, 31)
+    return model, cfg
+
+
+def test_mmil_v2_matches_reference(monkeypatch):
+    model, cfg = make_tiny_ref_mmil_v2(monkeypatch)
+    a_cfg = cfg.moe.adapter
 
     B, T, S = 1, 2, cfg.swin.img_size
     rng = np.random.RandomState(7)

@@ -480,3 +480,87 @@ def test_avs_pred_endecoder_matches_reference(monkeypatch, setting):
                   rtol=2e-3, atol=2e-3)
         _allclose(afea_ref[i], out["a_fea_list"][i], rtol=2e-3, atol=1e-3)
     _allclose(lb_ref, out["telemetry"]["lb_loss"], rtol=2e-3, atol=1e-3)
+
+
+# -------------------------------------------------- AVQA grounding (stage A)
+
+
+def make_tiny_ref_grounding(monkeypatch):
+    """Builds the reference's OWN AVQA_AVatt_Grounding (grounding_gen/
+    nets_grd_gen.py:39-202) at tiny dims with random weights, plus the
+    matching tiny AVQA config (shared by the activation-parity test below
+    and the grounding training-curve test)."""
+    import types as _types
+
+    net = load_ref_tree(
+        f"{REF_ROOT}/AVQA/grounding_gen", "nets_grd_gen",
+        top_packages=("nets_grd_gen", "visual_net", "htsat", "esc_config",
+                      "utils", "layers"))
+    esc = net.esc_config
+
+    from avmoe_tpu.config import tiny_avqa_config
+
+    cfg = tiny_avqa_config()
+    d = cfg.d_feat
+    _patch_esc_tiny(monkeypatch, esc, cfg)
+    _patch_backbones(monkeypatch, net, esc, cfg)
+
+    # the forward hardcodes the full-scale 6x6 final grid
+    # (nets_grd_gen.py:171 view(B*T, C, 6, 6)); recompute from the tensor
+    orig_view = torch.Tensor.view
+
+    def patched_view(self, *shape):
+        if (len(shape) == 4 and tuple(shape[-2:]) == (6, 6)
+                and self.numel() != shape[0] * shape[1] * 36):
+            s = int(round((self.numel() // (shape[0] * shape[1])) ** 0.5))
+            shape = shape[:2] + (s, s)
+        return orig_view(self, *shape)
+
+    monkeypatch.setattr(torch.Tensor, "view", patched_view)
+
+    opt = _types.SimpleNamespace(backbone_type="audioset")
+    torch.manual_seed(3)
+    model = net.AVQA_AVatt_Grounding(opt)
+    # the ctor hardcodes 1536-dim heads (nets_grd_gen.py:44-59); re-size
+    L = torch.nn.Linear
+    model.fc_a1 = L(cfg.htsat.num_features, d)
+    model.fc_a2 = L(d, d)
+    model.fc_gl = L(2 * d, d)
+    model.fc1 = L(2 * d, 512)
+    model.eval()
+    _randomize_torch(model, 37)
+    return model, cfg
+
+
+def test_grounding_net_matches_reference(monkeypatch):
+    """Runs the reference's OWN AVQA_AVatt_Grounding forward
+    (nets_grd_gen.py:113-202) — plain frozen swin/htsat (no adapters, htsat
+    final norm skipped), audio-guided spatial grounding, pos/neg match MLP —
+    and checks models.avqa_grounding.AVQAGroundingModel on the converted
+    weights. The reference interleaves [posi, nega] rows per sample."""
+    model_t, cfg = make_tiny_ref_grounding(monkeypatch)
+
+    B = 2
+    rng = np.random.RandomState(41)
+    wave = (rng.randn(B, 1, cfg.audio_len) * 0.1).astype(np.float32)
+    video = rng.rand(B, 2, 3, cfg.swin.img_size, cfg.swin.img_size
+                     ).astype(np.float32)
+    with torch.no_grad():
+        feat_ref = model_t(None, _t(wave), _t(video))
+
+    from avmoe_tpu.checkpoint.convert import (convert_grounding_net,
+                                              torch_state_dict_to_numpy)
+    from avmoe_tpu.models.avqa_grounding import AVQAGroundingModel
+
+    params, batch_stats = convert_grounding_net(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths)
+    m = AVQAGroundingModel(cfg)
+    out = jax.jit(lambda v, w, p, n: m.apply(v, w, p, n, train=False))(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(wave[:, 0]),
+        jnp.asarray(video[:, 0].transpose(0, 2, 3, 1)),
+        jnp.asarray(video[:, 1].transpose(0, 2, 3, 1)))
+
+    _allclose(feat_ref[0::2], out["match_posi"], rtol=2e-3, atol=1e-3)
+    _allclose(feat_ref[1::2], out["match_nega"], rtol=2e-3, atol=1e-3)

@@ -803,3 +803,230 @@ def test_ave_legacy_v1_training_curve_matches_reference(monkeypatch):
 
     np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
     assert all(np.isfinite(ref_losses))
+
+
+# --------------------------------------------------- AVE LAVisH (v2)
+#
+# Seventh recipe: the LAVisH shared-backbone baseline driver
+# (AVE/main_trans_lavish.py). Same freeze scan + per-group Adam + StepLR
+# as the other AVE drivers (:180-234; 'mlp_class' substring catches
+# mlp_class_2 too), but the MMIL_Net_v2 model on (fbank-image, frames)
+# pairs, and BCEWithLogitsLoss applied to the model's SOFTMAXED scores
+# vs the flattened one-hot GT (:106 + net_trans.py:1171-1173).
+# Known delta (documented in PARITY.md): the published loop calls
+# optimizer.step() a SECOND time on accum boundaries without re-zeroing
+# grads (:108-115, vestigial accum code) — both sides here run the
+# intended one-step-per-batch semantics.
+
+T_V2 = 2  # v2's forward has no 10-segment hardcode; keep the test fast
+
+
+def _torch_curve_mmil_v2(model, batches):
+    _zero_torch_stochastic(model)
+    param_group = []
+    for name, param in model.named_parameters():
+        param.requires_grad = False
+        if "ViT" in name or "swin" in name:
+            param.requires_grad = False  # is_vit_ln=0
+        elif "htsat" in name:
+            param.requires_grad = False
+        elif ("adapter_blocks" in name or "CMBS" in name
+              or "mlp_class" in name or "temporal_attn" in name):
+            param.requires_grad = True
+        if "mlp_class" in name:
+            param_group.append({"params": param, "lr": LR_MLP})
+        else:
+            param_group.append({"params": param, "lr": LR})
+    optimizer = torch.optim.Adam(param_group)
+    scheduler = torch.optim.lr_scheduler.StepLR(
+        optimizer, step_size=DECAY_EPOCH, gamma=DECAY)
+    criterion = nn.BCEWithLogitsLoss()
+
+    model.train()
+    losses = []
+    it = iter(batches)
+    for _epoch in range(N_EPOCHS):
+        for _step in range(STEPS_PER_EPOCH):
+            spec, image, gt = next(it)
+            optimizer.zero_grad()
+            output = model(
+                torch.from_numpy(spec),
+                torch.from_numpy(image.transpose(0, 1, 4, 2, 3).copy()),
+                rand_train_idx=11, stage="train")
+            gt_t = torch.from_numpy(gt).reshape(-1, gt.shape[-1])
+            loss = criterion(output.squeeze(1), gt_t)
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss.item()))
+        scheduler.step()
+    return losses
+
+
+def _jax_curve_mmil_v2(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.ave_legacy import MMILNetV2, make_mmil_v2_loss_fn
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=B, accum_steps=1, lr=LR, lr_mlp=LR_MLP,
+                       decay=DECAY, decay_epoch=DECAY_EPOCH)
+    model = MMILNetV2(cfg)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    state = create_train_state(model, variables, tcfg,
+                               steps_per_epoch=STEPS_PER_EPOCH)
+    train_step = make_train_step(
+        make_mmil_v2_loss_fn(model), rng_streams=("dropout",), donate=False)
+    losses = []
+    it = iter(batches)
+    for i in range(N_EPOCHS * STEPS_PER_EPOCH):
+        spec, image, gt = next(it)
+        batch = {"audio_spec": jnp.asarray(spec), "images": jnp.asarray(image),
+                 "labels": jnp.asarray(gt)}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_ave_lavish_v2_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    from test_reference_parity_legacy import make_tiny_ref_mmil_v2
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_mmil_v2, torch_state_dict_to_numpy)
+
+    model_t, cfg = make_tiny_ref_mmil_v2(monkeypatch)
+    a_cfg = cfg.moe.adapter
+
+    S = cfg.swin.img_size
+    rng = np.random.RandomState(23)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        spec = (rng.randn(B, T_V2, S, S) * 0.5).astype(np.float32)
+        imgs = rng.rand(B, T_V2, S, S, 3).astype(np.float32)
+        gt = np.eye(cfg.num_classes + 1, dtype=np.float32)[
+            rng.randint(0, cfg.num_classes + 1, (B, T_V2))]
+        batches.append((spec, imgs, gt))
+
+    params, batch_stats = convert_mmil_v2(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths,
+        adapter_kwargs=dict(num_conv_group=a_cfg.num_conv_group,
+                            use_bn=a_cfg.use_bn, use_gate=a_cfg.use_gate,
+                            before_layernorm=a_cfg.before_layernorm,
+                            post_layernorm=a_cfg.post_layernorm))
+
+    ref_losses = _torch_curve_mmil_v2(model_t, batches)
+    got_losses = _jax_curve_mmil_v2(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
+
+
+# ------------------------------------------- AVQA grounding pretrain (stage A)
+#
+# Eighth recipe: the stage-A grounding-gen pretrain
+# (AVQA/grounding_gen/main_grd_gen.py). DataParallel name scan freezes
+# swin/htsat (:271-275 — name.split('.')[1] under the 'module.' prefix),
+# single-LR Adam over model.parameters() (:277), StepLR(step_size=8,
+# gamma=0.1) stepped with the deprecated epoch arg (:278,284), and CE over
+# the interleaved posi/nega match logits (:44-49; CE-mean is
+# permutation-invariant to our [all-posi; all-nega] concat order).
+
+LR_GRD = 1e-4
+
+
+def _torch_curve_grounding(model, batches):
+    _zero_torch_stochastic(model)
+    for name, param in model.named_parameters():
+        scope = name.split(".")[0]  # unwrapped model ('module.' absent)
+        param.requires_grad = scope not in ("swin", "htsat")
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR_GRD)
+    scheduler = torch.optim.lr_scheduler.StepLR(optimizer, step_size=8,
+                                                gamma=0.1)
+    criterion = nn.CrossEntropyLoss()
+
+    model.train()
+    losses = []
+    it = iter(batches)
+    for epoch in range(1, N_EPOCHS + 1):
+        for _step in range(STEPS_PER_EPOCH):
+            wave, video, target = next(it)
+            optimizer.zero_grad()
+            feat = model(None, torch.from_numpy(wave),
+                         torch.from_numpy(video), mixup_lambda=None)
+            tgt = torch.from_numpy(target).view(-1).long()
+            loss = criterion(feat, tgt)
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss.item()))
+        scheduler.step(epoch)
+    return losses
+
+
+def _jax_curve_grounding(cfg, params, batch_stats, batches):
+    from avmoe_tpu.config import TrainConfig
+    from avmoe_tpu.models.avqa_grounding import (AVQAGroundingModel,
+                                                 make_grounding_loss_fn)
+    from avmoe_tpu.train.state import create_train_state
+    from avmoe_tpu.train.steps import make_train_step
+
+    tcfg = TrainConfig(batch_size=2, accum_steps=1, lr=LR_GRD, lr_mlp=LR_GRD,
+                       decay=0.1, decay_epoch=8)
+    model = AVQAGroundingModel(cfg)
+    state = create_train_state(
+        model, {"params": params, "batch_stats": batch_stats}, tcfg,
+        steps_per_epoch=STEPS_PER_EPOCH)
+    train_step = make_train_step(
+        make_grounding_loss_fn(model), rng_streams=("dropout", "specaug"),
+        donate=False)
+    losses = []
+    it = iter(batches)
+    for i in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave, video, _target = next(it)
+        batch = {"wave": jnp.asarray(wave[:, 0]),
+                 "posi": jnp.asarray(video[:, 0].transpose(0, 2, 3, 1)),
+                 "nega": jnp.asarray(video[:, 1].transpose(0, 2, 3, 1))}
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        if os.environ.get("CURVE_DEBUG"):
+            print(f"jax step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())),
+                flush=True)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_avqa_grounding_training_curve_matches_reference(monkeypatch):
+    monkeypatch.setenv("AVMOE_DETERMINISTIC_TRAIN", "1")
+    from test_reference_parity_models import make_tiny_ref_grounding
+
+    from avmoe_tpu.checkpoint.convert import (
+        convert_grounding_net, torch_state_dict_to_numpy)
+
+    model_t, cfg = make_tiny_ref_grounding(monkeypatch)
+
+    B_ = 2
+    rng = np.random.RandomState(43)
+    batches = []
+    for _ in range(N_EPOCHS * STEPS_PER_EPOCH):
+        wave = (rng.randn(B_, 1, cfg.audio_len) * 0.1).astype(np.float32)
+        video = rng.rand(B_, 2, 3, cfg.swin.img_size, cfg.swin.img_size
+                         ).astype(np.float32)
+        # interleaved labels [1, 0] per sample (dataloader_grd_gen pairs)
+        target = np.tile(np.array([1, 0], np.int64), (B_, 1))
+        batches.append((wave, video, target))
+
+    params, batch_stats = convert_grounding_net(
+        torch_state_dict_to_numpy(model_t.state_dict()),
+        swin_depths=cfg.swin.depths, htsat_depths=cfg.htsat.depths)
+
+    ref_losses = _torch_curve_grounding(model_t, batches)
+    got_losses = _jax_curve_grounding(cfg, params, batch_stats, batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(ref_losses))
