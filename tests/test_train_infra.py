@@ -138,3 +138,57 @@ def test_params_only_restore_across_optimizer_configs(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.trainable["head"]["kernel"]),
         np.arange(6.0).reshape(2, 3))
+
+
+def test_avqa_stage_handoff_graft():
+    """Stage-A -> stage-B head graft (cli/train_avqa.py --grounding_ckpt;
+    ref surgery main_avst_v2.py:339-351): the grounding model's trained
+    fc_a1/fc_a2/fc_gl/fc1..4 land in the fusion model's params with matching
+    shapes; fc_ans and the encoder stay untouched. Exercises the CLI's exact
+    include regex against REAL tiny model trees (shape agreement between the
+    two models' heads is part of the contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avmoe_tpu.checkpoint.manager import CheckpointManager
+    from avmoe_tpu.config import tiny_avqa_config
+    from avmoe_tpu.models.avqa import AVQAFusionModel
+    from avmoe_tpu.models.avqa_grounding import AVQAGroundingModel
+    from avmoe_tpu.train.freeze import partition_params
+
+    cfg = tiny_avqa_config()
+    S, L = cfg.swin.img_size, cfg.audio_len
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "specaug": jax.random.PRNGKey(2)}
+
+    grd = AVQAGroundingModel(cfg)
+    grd_vars = jax.jit(lambda r, w, p, n: grd.init(r, w, p, n, train=True))(
+        rngs, jnp.zeros((1, L)), jnp.zeros((1, S, S, 3)),
+        jnp.zeros((1, S, S, 3)))
+    # stage-A checkpoints store the PARTITIONED trainable tree (the heads;
+    # swin/htsat are frozen) — mark the donor values to detect the graft
+    trainable, _ = partition_params(grd_vars["params"])
+    donor = {"trainable": jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, 7.0), trainable)}
+    assert set(donor["trainable"]) == {
+        "fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4"}
+
+    fus = AVQAFusionModel(cfg)
+    T = cfg.num_segments
+    fus_vars = jax.jit(lambda r, w, p, n, q: fus.init(r, w, p, n, q, train=True))(
+        rngs, jnp.zeros((1, T, L)), jnp.zeros((1, T, S, S, 3)),
+        jnp.zeros((1, T, S, S, 3)),
+        jnp.zeros((1, cfg.max_qst_len), jnp.int32))
+
+    grafted = CheckpointManager.load_partial(
+        fus_vars["params"], donor.get("trainable", donor),
+        include=r"^(fc_a1|fc_a2|fc_gl|fc1|fc2|fc3|fc4)/")
+    for head in ("fc_a1", "fc_a2", "fc_gl", "fc1", "fc2", "fc3", "fc4"):
+        np.testing.assert_array_equal(
+            np.asarray(grafted[head]["kernel"]),
+            np.full_like(np.asarray(grafted[head]["kernel"]), 7.0))
+    # non-grafted heads/encoder keep their init values
+    assert not np.allclose(np.asarray(grafted["fc_ans"]["kernel"]), 7.0)
+    np.testing.assert_array_equal(
+        np.asarray(grafted["encoder"]["swin"]["patch_embed"]["proj"]["kernel"]),
+        np.asarray(fus_vars["params"]["encoder"]["swin"]["patch_embed"]["proj"]["kernel"]))
