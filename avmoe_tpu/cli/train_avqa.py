@@ -54,6 +54,9 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--model_save_dir", type=str, default="checkpoints/avqa")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint (full train state incl. "
+                        "optimizer/step) before training")
     p.add_argument("--grounding_ckpt", type=str, default=None,
                    help="stage-A checkpoint to graft heads from")
     p.add_argument("--num_workers", type=int, default=8)
@@ -168,6 +171,10 @@ def main():
     state = replicate(state, mesh)
     train_step = make_train_step(loss_fn)
     ckpts = CheckpointManager(args.model_save_dir)
+
+    if args.resume and ckpts.latest_step() is not None:
+        state = ckpts.restore(state)
+        log.info("resumed from step %d", int(state.step))
 
     @jax.jit
     def predict(variables, wave, posi, nega, question):

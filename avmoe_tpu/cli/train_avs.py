@@ -79,6 +79,9 @@ def parse_args():
                         " 0.01; ref train_v2.sh + base_options"
                         " --use_load_balacing_loss)")
     p.add_argument("--model_save_dir", type=str, default="checkpoints/avs")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint (full train state incl. "
+                        "optimizer/step) before training")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--precise", action="store_true",
                    help="exact numerics: fp32 attention logits + erf GELU"
@@ -183,6 +186,10 @@ def main():
     state = replicate(state, mesh)
     train_step = make_train_step(make_avs_loss_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)
+
+    if args.resume and ckpts.latest_step() is not None:
+        state = ckpts.restore(state)
+        log.info("resumed from step %d", int(state.step))
 
     @jax.jit
     def predict(variables, images, wave):

@@ -50,6 +50,9 @@ def parse_args():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--model_save_dir", type=str, default="checkpoints/avvp")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint (full train state incl. "
+                        "optimizer/step) before training")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--precise", action="store_true",
                    help="exact numerics: fp32 attention logits + erf GELU"
@@ -155,6 +158,10 @@ def main():
     train_step = make_train_step(make_avvp_loss_fn(model))
     ckpts = CheckpointManager(args.model_save_dir)
     tracker = ExpertUsageTracker(cfg.moe.num_experts)
+
+    if args.resume and ckpts.latest_step() is not None:
+        state = ckpts.restore(state)
+        log.info("resumed from step %d", int(state.step))
 
     if args.mode == "test":
         state = ckpts.restore(state, params_only=True)

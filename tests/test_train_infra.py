@@ -140,6 +140,69 @@ def test_params_only_restore_across_optimizer_configs(tmp_path):
         np.arange(6.0).reshape(2, 3))
 
 
+def test_full_state_resume_equivalence(tmp_path):
+    """Resume is EXACT, not approximate: train 5 micro-steps under
+    accum_steps=2 (so the saved MultiSteps state holds a pending
+    half-accumulated gradient) with a StepLR boundary inside the run, save
+    the FULL state, restore into a freshly-initialized (different-seed)
+    state, continue 3 more steps — bitwise-identical params, optimizer
+    moments, accumulation buffers and schedule count vs an uninterrupted
+    8-step run. The reference cannot resume at all (save-best state_dict
+    only, no optimizer/step state; ref: AVMOE/AVE/main_trans_v3.py:341-344)."""
+    import flax.linen as nn
+
+    from avmoe_tpu.checkpoint.manager import CheckpointManager
+    from avmoe_tpu.train.freeze import merge_params as _merge
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(4, name="swin")(x)  # frozen scope
+            return nn.Dense(1, name="head")(x)
+
+    model = M()
+    # steps_per_epoch=4 micro-steps, accum 2 -> 2 applied updates/epoch;
+    # decay_epoch=1 -> the LR halves after update 2 (micro-step 4), i.e.
+    # BEFORE the save point: the restored schedule count must carry it.
+    cfg = TrainConfig(lr=0.1, decay=0.5, decay_epoch=1, accum_steps=2)
+
+    def batch(i):
+        k = jax.random.fold_in(jax.random.PRNGKey(42), i)
+        x = jax.random.normal(k, (4, 3))
+        return x, jnp.sum(x, axis=1, keepdims=True) * 0.5
+
+    @jax.jit
+    def train_step(state, x, y):
+        def loss_fn(trainable):
+            pred = model.apply({"params": _merge(trainable, state.frozen)}, x)
+            return jnp.mean((pred - y) ** 2)
+
+        return state.apply_gradients(jax.grad(loss_fn)(state.trainable))
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((4, 3)))
+    straight = create_train_state(model, variables, cfg, steps_per_epoch=4)
+    for i in range(8):
+        straight = train_step(straight, *batch(i))
+
+    part1 = create_train_state(model, variables, cfg, steps_per_epoch=4)
+    for i in range(5):
+        part1 = train_step(part1, *batch(i))
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(5, part1)
+
+    fresh = model.init(jax.random.PRNGKey(99), jnp.ones((4, 3)))
+    resumed = create_train_state(model, fresh, cfg, steps_per_epoch=4)
+    resumed = mngr.restore(resumed)
+    assert int(resumed.step) == 5
+    for i in range(5, 8):
+        resumed = train_step(resumed, *batch(i))
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (straight.trainable, straight.opt_state, straight.step),
+        (resumed.trainable, resumed.opt_state, resumed.step))
+
+
 def test_avqa_stage_handoff_graft():
     """Stage-A -> stage-B head graft (cli/train_avqa.py --grounding_ckpt;
     ref surgery main_avst_v2.py:339-351): the grounding model's trained
