@@ -1,8 +1,10 @@
 from avmoe_tpu.parallel.mesh import (
     batch_sharding,
+    expert_sharding,
     make_mesh,
     replicate,
     shard_batch,
 )
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]
+__all__ = ["batch_sharding", "expert_sharding", "make_mesh", "replicate",
+           "shard_batch"]

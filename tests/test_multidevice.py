@@ -197,3 +197,64 @@ def test_dp_avs_eval_matches():
         v_rep, batch["images"], batch["wave"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(single),
                                rtol=2e-3, atol=2e-3)
+
+
+# --- expert parallelism (ep) --------------------------------------------------
+# The MoE fabric is a dense soft mixture, so ep is a tensor decomposition over
+# the stacked-expert parameter axis (parallel/mesh.py expert_sharding): each
+# device holds E/n experts, GSPMD psums the gate-weighted combine. Must be
+# numerically invariant, in both the materialized and fused combine paths.
+
+
+def _ep_setup():
+    from avmoe_tpu.config import MoEConfig, AdapterConfig
+
+    cfg = tiny_ave_config()
+    cfg = replace(cfg, moe=MoEConfig(
+        num_multimodal_experts=2, num_singlemodal_experts=2,
+        adapter=AdapterConfig(downsample=4, num_conv_group=2, num_tokens=8)))
+    model = AVEModel(cfg)
+    B, T = 8, cfg.num_segments
+    rng = np.random.RandomState(3)
+    wave = jnp.asarray(rng.randn(B, T, cfg.audio_len).astype(np.float32) * 0.1)
+    imgs = jnp.asarray(
+        rng.rand(B, T, cfg.swin.img_size, cfg.swin.img_size, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), wave, imgs)
+    return model, variables, wave, imgs
+
+
+def test_ep_sharded_matches_single_device():
+    from avmoe_tpu.parallel.mesh import expert_sharding
+
+    model, variables, wave, imgs = _ep_setup()
+    single = jax.jit(lambda v, w, im: model.apply(v, w, im)["event_logits"])(
+        variables, wave, imgs)
+    mesh = make_mesh(8, model=2)  # dp=4 x ep=2
+    v_ep = expert_sharding(variables, mesh)
+    # the expert stacks must actually be sharded over 'model'
+    stack_leaves = [
+        x for p, x in jax.tree_util.tree_leaves_with_path(v_ep["params"])
+        if "experts" in jax.tree_util.keystr(p)]
+    assert stack_leaves and all(
+        not x.sharding.is_fully_replicated for x in stack_leaves)
+    batch = shard_batch({"wave": wave, "images": imgs}, mesh)
+    out = jax.jit(lambda v, w, im: model.apply(v, w, im)["event_logits"])(
+        v_ep, batch["wave"], batch["images"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ep_fused_moe_eval_matches(monkeypatch):
+    from avmoe_tpu.parallel.mesh import expert_sharding
+
+    monkeypatch.setenv("AVMOE_FUSED_MOE", "1")
+    model, variables, wave, imgs = _ep_setup()
+    single = jax.jit(lambda v, w, im: model.apply(v, w, im)["event_logits"])(
+        variables, wave, imgs)
+    mesh = make_mesh(8, model=2)
+    v_ep = expert_sharding(variables, mesh)
+    batch = shard_batch({"wave": wave, "images": imgs}, mesh)
+    out = jax.jit(lambda v, w, im: model.apply(v, w, im)["event_logits"])(
+        v_ep, batch["wave"], batch["images"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=2e-3, atol=2e-3)
